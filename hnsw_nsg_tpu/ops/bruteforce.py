@@ -1,0 +1,114 @@
+"""Exact top-k search: one GEMM + ``lax.top_k`` per database tile.
+
+This is three things at once, mirroring the reference:
+  * the BruteforceSearch engine (hnswlib/hnswlib/bruteforce.h:106-135);
+  * the recall oracle for every test (hnswlib/tests/python/
+    bindings_test_recall.py uses BFIndex as ground truth);
+  * the CNNS centroid router — on TPU a batched exact top-nprobe over the
+    representative points is a single GEMM and replaces the faiss
+    IndexHNSWFlat router (CNNS/tests/cluster_IVF_nndescent.cpp:189-193).
+
+The database is scanned in static tiles under ``lax.scan`` with a running
+top-k merge, bounding peak memory to [Q, tile] while streaming the whole
+database through the MXU at HBM speed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .distance import PAD_DIST, PAD_ID, pairwise_dists, squared_norms
+from .topk import topk_smallest
+
+
+def _pad_rows(x: jax.Array, n_pad: int, fill) -> jax.Array:
+    if x.shape[0] == n_pad:
+        return x
+    pad = jnp.full((n_pad - x.shape[0],) + x.shape[1:], fill, dtype=x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "tile", "exact")
+)
+def brute_force_topk(
+    q: jax.Array,
+    x: jax.Array,
+    k: int,
+    metric: str = "l2",
+    x_norms: jax.Array | None = None,
+    valid_n: jax.Array | None = None,
+    tile: int = 65536,
+    exact: bool = True,
+):
+    """Exact k nearest of each query row. Returns (dists [Q,k], ids [Q,k]).
+
+    q: [Q, d]; x: [N, d]. ``valid_n`` masks a prefix-valid database (rows
+    >= valid_n are ignored) so callers with a grow-in-place arena (the
+    Bruteforce engine) can jit one shape.
+    """
+    n, _ = x.shape
+    k = min(k, n)
+    if metric == "l2" and x_norms is None:
+        x_norms = squared_norms(x)
+
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+    xp = _pad_rows(x, n_pad, 0)
+    if metric == "l2":
+        norms_p = _pad_rows(x_norms, n_pad, PAD_DIST)
+    else:
+        norms_p = jnp.zeros((n_pad,), jnp.float32)
+    limit = jnp.asarray(n if valid_n is None else valid_n, jnp.int32)
+
+    xs = xp.reshape(n_tiles, tile, -1)
+    norm_tiles = norms_p.reshape(n_tiles, tile)
+
+    qn = squared_norms(q) if (metric == "l2" and exact) else None
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        t_idx, xt, nt = inp
+        d = pairwise_dists(q, xt, metric=metric, x_norms=nt, exact=False)
+        if qn is not None:
+            d = d + qn[:, None]
+        ids = t_idx * tile + jax.lax.broadcasted_iota(
+            jnp.int32, (1, tile), 1
+        )
+        valid = ids < limit
+        d = jnp.where(valid, d, PAD_DIST)
+        ids = jnp.where(valid, ids, PAD_ID)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, d.shape)], axis=1
+        )
+        return topk_smallest(cat_d, cat_i, k), None
+
+    init_d = jnp.full((q.shape[0], k), PAD_DIST, jnp.float32)
+    init_i = jnp.full((q.shape[0], k), PAD_ID, jnp.int32)
+    (best_d, best_i), _ = jax.lax.scan(
+        step,
+        (init_d, init_i),
+        (jnp.arange(n_tiles, dtype=jnp.int32), xs, norm_tiles),
+    )
+    return best_d, best_i
+
+
+def recall(found_ids, gt_ids, k: int | None = None) -> float:
+    """|found ∩ gt| / |gt| per query, averaged — the reference's recall
+    accounting (CNNS/tests/cluster_hnsw_nsg_search.cpp:279-298)."""
+    found_ids = jnp.asarray(found_ids)
+    gt_ids = jnp.asarray(gt_ids)
+    if k is not None:
+        found_ids = found_ids[:, :k]
+        gt_ids = gt_ids[:, :k]
+    hits = (found_ids[:, :, None] == gt_ids[:, None, :]) & (
+        gt_ids[:, None, :] >= 0
+    )
+    per_q = jnp.sum(jnp.any(hits, axis=1), axis=-1) / jnp.maximum(
+        jnp.sum(gt_ids >= 0, axis=-1), 1
+    )
+    return float(jnp.mean(per_q))
