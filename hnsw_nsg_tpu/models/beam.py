@@ -1,0 +1,173 @@
+"""Batched graph traversal: lockstep best-first beam + greedy descent.
+
+This module is the TPU re-design of the reference's three traversal loops:
+
+  * NSG ``Search`` (CNNS/src/nsg/index_nsg.cpp:506-568) — fixed-width sorted
+    retset, expand lowest unexpanded, insert improving neighbors;
+  * hnswlib ``searchBaseLayerST`` (hnswlib/hnswlib/hnswalg.h:309-440) — ef
+    beam with candidate/result heaps;
+  * hnswlib upper-level greedy descent (hnswalg.h:1278-1303).
+
+All three become the same lockstep pattern: Q queries advance together under
+``lax.while_loop``; each hop gathers the frontier nodes' padded adjacency
+rows, computes a batched gathered-GEMM distance block on the MXU, and merges
+into per-query sorted retsets with ``lax.top_k``. Queries that have converged
+are masked out (their frontier contributes PAD entries) — the "active mask"
+plan from SURVEY.md §7.
+
+Termination/visited-set correctness: a sorted top-L retset only ever improves
+its L-th best distance, so an evicted node can never re-enter, and the
+per-slot expanded flag guarantees each retset occupant is expanded at most
+once. Retset dedup (ops/topk.py) therefore replaces the reference's
+VisitedList/bitset exactly, with the one behavioral delta that a node evicted
+*before* expansion can have its distance recomputed if re-encountered — extra
+MXU work, identical results.
+
+Search metrics (hop and distance-evaluation counters) mirror the reference's
+``metric_hops`` / ``metric_distance_computations`` (hnswalg.h:65-66).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.distance import PAD_DIST, PAD_ID, gathered_dists
+from ..ops.topk import init_retset, merge_into_retset
+
+
+class BeamResult(NamedTuple):
+    dists: jax.Array     # [Q, L] ascending (FastL2 values for metric="l2")
+    ids: jax.Array       # [Q, L] PAD_ID-padded
+    hops: jax.Array      # [Q] int32 — frontier expansions performed
+    evals: jax.Array     # [Q] int32 — distance computations performed
+
+
+def _select_frontier(ids, expanded, expand: int):
+    """Pick the first `expand` unexpanded slots per query (retset is sorted,
+    so these are the closest unexpanded candidates)."""
+    q, width = ids.shape
+    unexp = ~expanded
+    slot = jax.lax.broadcasted_iota(jnp.int32, (q, width), 1)
+    key = jnp.where(unexp, slot, width)
+    # top_k of -key -> smallest slot indices first
+    _, idxs = jax.lax.top_k(-key, expand)  # [Q, expand]
+    sel_valid = jnp.take_along_axis(unexp, idxs, axis=1)
+    sel_ids = jnp.take_along_axis(ids, idxs, axis=1)
+    sel_ids = jnp.where(sel_valid, sel_ids, PAD_ID)
+    new_expanded = expanded | jnp.any(
+        (slot[:, None, :] == idxs[:, :, None]) & sel_valid[:, :, None],
+        axis=1,
+    )
+    return sel_ids, sel_valid, new_expanded
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "metric", "max_hops", "expand"),
+)
+def beam_search(
+    queries: jax.Array,
+    data: jax.Array,
+    norms: jax.Array,
+    adj: jax.Array,
+    init_ids: jax.Array,
+    width: int,
+    metric: str = "l2",
+    max_hops: int = 512,
+    expand: int = 1,
+) -> BeamResult:
+    """Lockstep best-first search over a padded-adjacency graph.
+
+    queries:  [Q, d]
+    data:     [N, d], norms: [N] cached squared norms (l2 only, may be dummy
+              for ip/cosine)
+    adj:      [N, R] int32, PAD_ID-padded out-edges
+    init_ids: [Q, I] int32 initial candidates (PAD_ID-padded)
+    width:    retset width L (ef in hnswlib terms, L_search in NSG terms)
+    expand:   frontier nodes expanded per hop (1 == reference semantics;
+              >1 trades extra distance evals for fewer, fatter hops — better
+              MXU utilization at the same recall level).
+
+    Returns distances in FastL2 form for metric="l2" (exact = + ||q||^2).
+    """
+    init_d = gathered_dists(queries, data, init_ids, metric, norms)
+    r_d, r_i, r_e = init_retset(init_d, init_ids, width)
+    qn = queries.shape[0]
+    hops = jnp.zeros((qn,), jnp.int32)
+    evals = jnp.sum(init_ids >= 0, axis=1).astype(jnp.int32)
+
+    def cond(state):
+        _, _, r_e, _, hops, _ = state
+        return jnp.any(~r_e) & (jnp.max(hops) < max_hops)
+
+    def body(state):
+        r_d, r_i, r_e, it, hops, evals = state
+        sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+        nbrs = jnp.take(adj, jnp.where(sel_ids >= 0, sel_ids, 0), axis=0)
+        nbrs = jnp.where(sel_valid[:, :, None], nbrs, PAD_ID)
+        nbrs = nbrs.reshape(qn, -1)
+        cd = gathered_dists(queries, data, nbrs, metric, norms)
+        r_d, r_i, r_e = merge_into_retset(r_d, r_i, r_e, cd, nbrs)
+        hops = hops + jnp.sum(sel_valid, axis=1).astype(jnp.int32)
+        evals = evals + jnp.sum(nbrs >= 0, axis=1).astype(jnp.int32)
+        return r_d, r_i, r_e, it + 1, hops, evals
+
+    r_d, r_i, r_e, _, hops, evals = jax.lax.while_loop(
+        cond, body, (r_d, r_i, r_e, jnp.int32(0), hops, evals)
+    )
+    return BeamResult(r_d, r_i, hops, evals)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "max_hops"))
+def greedy_descent(
+    queries: jax.Array,
+    data: jax.Array,
+    norms: jax.Array,
+    adj: jax.Array,
+    start_ids: jax.Array,
+    metric: str = "l2",
+    max_hops: int = 256,
+):
+    """Batched 1-best greedy walk (hnswlib upper-level descent,
+    hnswalg.h:1278-1303): move to the closest neighbor while it improves.
+
+    queries: [Q, d]; start_ids: [Q] int32. Returns (ids [Q], dists [Q]) with
+    dists in FastL2 form for l2.
+    """
+    cur_d = gathered_dists(
+        queries, data, start_ids[:, None], metric, norms
+    )[:, 0]
+    cur = start_ids
+
+    def cond(state):
+        _, _, moved, it = state
+        return jnp.any(moved) & (it < max_hops)
+
+    def body(state):
+        cur, cur_d, _, it = state
+        nbrs = jnp.take(adj, jnp.where(cur >= 0, cur, 0), axis=0)  # [Q, R]
+        nd = gathered_dists(queries, data, nbrs, metric, norms)
+        best = jnp.argmin(nd, axis=1)
+        best_d = jnp.take_along_axis(nd, best[:, None], axis=1)[:, 0]
+        best_id = jnp.take_along_axis(nbrs, best[:, None], axis=1)[:, 0]
+        moved = best_d < cur_d
+        cur = jnp.where(moved, best_id, cur)
+        cur_d = jnp.where(moved, best_d, cur_d)
+        return cur, cur_d, moved, it + 1
+
+    cur, cur_d, _, _ = jax.lax.while_loop(
+        cond, body,
+        (cur, cur_d, jnp.ones_like(cur, dtype=jnp.bool_), jnp.int32(0)),
+    )
+    return cur, cur_d
+
+
+def random_fill_ids(key, n: int, shape, forbid=None):
+    """Uniform random node ids, the reference's random init fill
+    (index_nsg.cpp:522-528). forbid: optional [Q, F] ids to avoid exactly
+    isn't needed — duplicates are dropped by retset dedup downstream."""
+    return jax.random.randint(key, shape, 0, n, dtype=jnp.int32)

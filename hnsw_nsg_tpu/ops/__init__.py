@@ -8,7 +8,11 @@ from .distance import (  # noqa: F401
     point_dists,
     squared_norms,
 )
-from .bruteforce import brute_force_topk, recall  # noqa: F401
+from .bruteforce import (  # noqa: F401
+    brute_force_topk,
+    knn_graph_exact,
+    recall,
+)
 from .topk import (  # noqa: F401
     empty_retset,
     init_retset,

@@ -97,6 +97,36 @@ def brute_force_topk(
     return best_d, best_i
 
 
+def knn_graph_exact(
+    x: jax.Array,
+    k: int,
+    metric: str = "l2",
+    tile: int = 65536,
+    query_block: int = 4096,
+) -> jax.Array:
+    """Exact kNN graph (self-edge removed) as padded adjacency int32 [N, k].
+
+    The brute-force counterpart of the nn-descent builder — used as the test
+    oracle and as the initializer for small datasets/clusters where an exact
+    graph is one GEMM (the TPU answer to efanna's KD-tree initializer for
+    small N).
+    """
+    n = x.shape[0]
+    rows = []
+    for s in range(0, n, query_block):
+        q = x[s : s + query_block]
+        _, ids = brute_force_topk(q, x, min(k + 1, n), metric=metric, tile=tile)
+        ids = jnp.asarray(ids)
+        self_col = jnp.arange(s, s + q.shape[0], dtype=jnp.int32)[:, None]
+        not_self = ids != self_col
+        # stable-compact non-self entries to the left, keep k
+        order = jnp.argsort(~not_self, axis=1, stable=True)
+        ids = jnp.take_along_axis(ids, order, axis=1)[:, :k]
+        keep = jnp.take_along_axis(not_self, order, axis=1)[:, :k]
+        rows.append(jnp.where(keep, ids, PAD_ID))
+    return jnp.concatenate(rows, axis=0)
+
+
 def recall(found_ids, gt_ids, k: int | None = None) -> float:
     """|found ∩ gt| / |gt| per query, averaged — the reference's recall
     accounting (CNNS/tests/cluster_hnsw_nsg_search.cpp:279-298)."""
