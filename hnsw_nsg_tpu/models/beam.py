@@ -166,6 +166,69 @@ def greedy_descent(
     return cur, cur_d
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "metric", "max_hops", "expand", "collect"),
+)
+def beam_search_collect(
+    queries: jax.Array,
+    data: jax.Array,
+    norms: jax.Array,
+    adj: jax.Array,
+    init_ids: jax.Array,
+    width: int,
+    collect: int,
+    metric: str = "l2",
+    max_hops: int = 512,
+    expand: int = 1,
+):
+    """beam_search that additionally keeps the closest `collect` evaluated
+    (id, dist) pairs.
+
+    This is the reference's ``get_neighbors`` (CNNS/src/nsg/index_nsg.cpp:
+    150-285) feeding ``sync_prune``: get_neighbors collects the *fullset* of
+    every candidate evaluated, sync_prune sorts it by distance and scans only
+    the first C. Keeping a sorted top-`collect` pool during the search is
+    exactly equivalent to (sort-full-pool, scan first C) while bounding
+    memory to [Q, collect].
+
+    Returns (BeamResult, pool_ids [Q, collect], pool_dists [Q, collect]),
+    pool sorted ascending, PAD-padded, deduplicated.
+    """
+    qn = queries.shape[0]
+    init_d = gathered_dists(queries, data, init_ids, metric, norms)
+    r_d, r_i, r_e = init_retset(init_d, init_ids, width)
+    p_d, p_i, _ = init_retset(init_d, init_ids, collect)
+    p_e = jnp.zeros_like(p_i, dtype=jnp.bool_)  # pool has no expansion flags
+
+    hops = jnp.zeros((qn,), jnp.int32)
+    evals = jnp.sum(init_ids >= 0, axis=1).astype(jnp.int32)
+
+    def cond(state):
+        r_e = state[2]
+        hops = state[4]
+        return jnp.any(~r_e) & (jnp.max(hops) < max_hops)
+
+    def body(state):
+        r_d, r_i, r_e, it, hops, evals, p_d, p_i = state
+        sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+        nbrs = jnp.take(adj, jnp.where(sel_ids >= 0, sel_ids, 0), axis=0)
+        nbrs = jnp.where(sel_valid[:, :, None], nbrs, PAD_ID)
+        nbrs = nbrs.reshape(qn, -1)
+        cd = gathered_dists(queries, data, nbrs, metric, norms)
+        p_d, p_i, _ = merge_into_retset(p_d, p_i, p_e, cd, nbrs)
+        r_d, r_i, r_e = merge_into_retset(r_d, r_i, r_e, cd, nbrs)
+        hops = hops + jnp.sum(sel_valid, axis=1).astype(jnp.int32)
+        evals = evals + jnp.sum(nbrs >= 0, axis=1).astype(jnp.int32)
+        return r_d, r_i, r_e, it + 1, hops, evals, p_d, p_i
+
+    state = (r_d, r_i, r_e, jnp.int32(0), hops, evals, p_d, p_i)
+    r_d, r_i, r_e, _, hops, evals, p_d, p_i = jax.lax.while_loop(
+        cond, body, state
+    )
+    return BeamResult(r_d, r_i, hops, evals), p_i, p_d
+
+
 def random_fill_ids(key, n: int, shape, forbid=None):
     """Uniform random node ids, the reference's random init fill
     (index_nsg.cpp:522-528). forbid: optional [Q, F] ids to avoid exactly
