@@ -83,6 +83,47 @@ def merge_into_retset(
     return new_d, new_i, new_e
 
 
+def merge_into_retset_sorted(
+    r_dists: jax.Array,
+    r_ids: jax.Array,
+    r_expanded: jax.Array,
+    c_dists: jax.Array,
+    c_ids: jax.Array,
+):
+    """merge_into_retset with O((L+C) log) sort-based dedup.
+
+    Identical semantics; preferable when the candidate width C is large
+    (e.g. nn-descent pulls hundreds of candidates per node), where the
+    quadratic pairwise dedup of merge_into_retset would dominate.
+    Dedup: stable sort the concatenated pool by id (retset entries first,
+    so they win duplicates and keep their expanded flags), drop adjacent
+    equal ids, then top-L by distance.
+    """
+    width = r_dists.shape[1]
+    cd = jnp.where(c_ids < 0, PAD_DIST, c_dists)
+    all_d = jnp.concatenate([r_dists, cd], axis=1)
+    all_i = jnp.concatenate([r_ids, c_ids], axis=1)
+    all_e = jnp.concatenate(
+        [r_expanded, jnp.zeros_like(cd, dtype=jnp.bool_)], axis=1
+    )
+    # sort by id; PAD_ID groups at front and stays PAD
+    o = jnp.argsort(all_i, axis=1, stable=True)
+    si = jnp.take_along_axis(all_i, o, axis=1)
+    sd = jnp.take_along_axis(all_d, o, axis=1)
+    se = jnp.take_along_axis(all_e, o, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(si[:, :1], dtype=jnp.bool_), si[:, 1:] == si[:, :-1]],
+        axis=1,
+    ) & (si >= 0)
+    sd = jnp.where(dup, PAD_DIST, sd)
+    si = jnp.where(dup, PAD_ID, si)
+    neg_vals, idx = jax.lax.top_k(-sd, width)
+    new_d = -neg_vals
+    new_i = jnp.take_along_axis(si, idx, axis=1)
+    new_e = jnp.take_along_axis(se, idx, axis=1) | (new_i < 0)
+    return new_d, new_i, new_e
+
+
 def init_retset(c_dists: jax.Array, c_ids: jax.Array, width: int):
     """Build a fresh sorted retset of the given width from raw candidates."""
     q = c_dists.shape[0]
