@@ -1,0 +1,116 @@
+"""Headline benchmark: QPS at recall@10 >= 0.95 on SIFT1M-scale data.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol (north star, BASELINE.md): build an index over N=1M 128-d vectors
+(SIFT-like synthetic: clustered Gaussian, deterministic seed), compute exact
+ground truth on-device, sweep the routing knob until recall@10 >= 0.95, and
+report sustained query throughput at that operating point on one TPU chip.
+
+vs_baseline divides by 5000 QPS — a representative single-core hnswlib
+figure at recall@10 ~= 0.95 on SIFT1M (the reference publishes no number of
+its own, SURVEY.md §6; 3-6k QPS is the commonly reproduced range for M=16
+ef~=100 on one modern core). The driver-defined target is vs_baseline >= 10.
+
+Env knobs: BENCH_N (default 1_000_000), BENCH_Q (2048), BENCH_CLUSTERS,
+BENCH_ENGINE ("cnns_flat" | "cnns_nsg" | "hnsw"), BENCH_VERBOSE=1.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hnsw_nsg_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+import numpy as np  # noqa: E402
+
+BASELINE_QPS = 5000.0
+K = 10
+TARGET_RECALL = 0.95
+
+
+def log(msg):
+    if os.environ.get("BENCH_VERBOSE"):
+        print(msg, file=sys.stderr, flush=True)
+
+
+def make_data(n, d, q, seed=0):
+    """SIFT-like synthetic: clustered, 128-d, f32."""
+    rng = np.random.default_rng(seed)
+    n_centers = max(n // 2500, 8)
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 2.0
+    assign = rng.integers(0, n_centers, n)
+    x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    qa = rng.integers(0, n_centers, q)
+    queries = centers[qa] + rng.standard_normal((q, d)).astype(np.float32)
+    return x.astype(np.float32), queries.astype(np.float32)
+
+
+def main():
+    from hnsw_nsg_tpu.ops import brute_force_topk, recall
+    from hnsw_nsg_tpu.models.cnns import build_cnns
+    from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    nq = int(os.environ.get("BENCH_Q", 2048))
+    d = 128
+    engine = os.environ.get("BENCH_ENGINE", "cnns_flat")
+    n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 2048, 8)))
+
+    t0 = time.time()
+    x, queries = make_data(n, d, nq)
+    log(f"data: {n}x{d}, {nq} queries ({time.time() - t0:.1f}s)")
+
+    t0 = time.time()
+    _, gt = brute_force_topk(queries, x, K)
+    gt = np.asarray(gt)
+    log(f"ground truth ({time.time() - t0:.1f}s)")
+
+    t0 = time.time()
+    local = "nsg" if engine == "cnns_nsg" else "flat"
+    idx = build_cnns(
+        x,
+        CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12),
+        local_index=local,
+    )
+    build_s = time.time() - t0
+    log(f"build ({engine}, {n_clusters} clusters): {build_s:.1f}s")
+
+    best = None
+    nprobe = 2
+    while nprobe <= n_clusters:
+        dd, ii = idx.search(queries, k=K, nprobe=nprobe)
+        r = recall(np.asarray(ii), gt)
+        # timed run (warm)
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            dd, ii = idx.search(queries, k=K, nprobe=nprobe)
+        np.asarray(ii)
+        qps = nq * reps / (time.time() - t0)
+        log(f"nprobe={nprobe}: recall@10={r:.4f} qps={qps:.0f}")
+        best = (nprobe, r, qps)
+        if r >= TARGET_RECALL:
+            break
+        nprobe *= 2
+
+    nprobe, r, qps = best
+    print(json.dumps({
+        "metric": (
+            f"QPS at recall@10>={TARGET_RECALL} (measured {r:.3f}), "
+            f"N={n} d={d} clustered-synthetic, engine={engine} "
+            f"nprobe={nprobe}, build_s={build_s:.0f}, 1 TPU chip"
+        ),
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""hnswlib-compatible Python API.
+
+Mirrors the pybind11 module surface (hnswlib/python_bindings/bindings.cpp:
+913-1010): ``Index(space, dim)`` with init_index / add_items / knn_query /
+set_ef / save_index / load_index / mark_deleted / unmark_deleted /
+resize_index / get_items / get_ids_list / get_current_count /
+get_max_elements / element properties, plus ``BFIndex``. A user of the
+reference's ``import hnswlib`` can switch the import and keep their code.
+
+Space semantics match bindings.cpp:157-177 and 241-249: "l2" -> squared L2,
+"ip" -> 1 - <a,b>, "cosine" -> vectors normalized on add and query, distance
+= 1 - cos. ``num_threads`` arguments are accepted for compatibility; batching
+replaces threading on TPU (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .models.hnsw import HNSWIndex
+from .ops.bruteforce import brute_force_topk
+from .ops.distance import normalize
+from .utils.params import HNSWConfig
+
+VALID_SPACES = ("l2", "ip", "cosine")
+
+
+class Index:
+    """Drop-in analogue of ``hnswlib.Index``."""
+
+    def __init__(self, space: str, dim: int):
+        if space not in VALID_SPACES:
+            raise ValueError(f"Space {space} not available")
+        self.space = space
+        self.dim = int(dim)
+        self._index: HNSWIndex | None = None
+        self.ef = 10
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def init_index(
+        self,
+        max_elements: int,
+        M: int = 16,
+        ef_construction: int = 200,
+        random_seed: int = 100,
+        allow_replace_deleted: bool = False,
+    ) -> None:
+        cfg = HNSWConfig(
+            M=M, ef_construction=ef_construction, random_seed=random_seed,
+            allow_replace_deleted=allow_replace_deleted,
+        )
+        metric = "ip" if self.space in ("ip", "cosine") else "l2"
+        self._index = HNSWIndex(self.dim, max_elements, cfg, metric)
+        self._replace_deleted = allow_replace_deleted
+
+    def _require(self) -> HNSWIndex:
+        if self._index is None:
+            raise RuntimeError("Index not initialized (call init_index)")
+        return self._index
+
+    def _prep(self, data) -> np.ndarray:
+        x = np.asarray(data, np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        if x.shape[1] != self.dim:
+            raise ValueError("wrong dimensionality of the vectors")
+        if self.space == "cosine":
+            x = np.asarray(normalize(x))
+        return x
+
+    # -- mutation ----------------------------------------------------------
+
+    def add_items(
+        self, data, ids=None, num_threads: int = -1,
+        replace_deleted: bool = False, batch_size: int = 4096,
+    ) -> None:
+        x = self._prep(data)
+        idx = self._require()
+        if replace_deleted:
+            if not getattr(self, "_replace_deleted", False):
+                raise RuntimeError(
+                    "replace_deleted=True requires "
+                    "allow_replace_deleted at init"
+                )
+            x, ids = self._replace_into_deleted(x, ids)
+            if x.shape[0] == 0:
+                return
+        idx.add_items(x, ids, batch_size=batch_size)
+
+    def _replace_into_deleted(self, x, ids):
+        """addPoint(replace_deleted=true) semantics (hnswalg.h:954-992):
+        reuse deleted slots for as many new points as possible."""
+        idx = self._require()
+        dead = np.nonzero(idx.deleted[: idx.n])[0]
+        take = min(len(dead), x.shape[0])
+        if ids is None:
+            ids = np.arange(idx.n, idx.n + x.shape[0], dtype=np.int64)
+        ids = np.asarray(ids, np.int64).reshape(x.shape[0])
+        for j in range(take):
+            slot = int(dead[j])
+            old_label = int(idx.labels[slot])
+            idx.label_to_id.pop(old_label, None)
+            idx.replace_point(slot, x[j], int(ids[j]))
+        return x[take:], ids[take:]
+
+    def mark_deleted(self, label: int) -> None:
+        self._require().mark_deleted(label)
+
+    def unmark_deleted(self, label: int) -> None:
+        self._require().unmark_deleted(label)
+
+    def resize_index(self, new_size: int) -> None:
+        self._require().resize_index(new_size)
+
+    def set_ef(self, ef: int) -> None:
+        self.ef = int(ef)
+
+    def set_num_threads(self, n: int) -> None:
+        pass  # threads have no TPU equivalent; batching covers it
+
+    # -- queries -----------------------------------------------------------
+
+    def knn_query(
+        self, data, k: int = 1, num_threads: int = -1, filter=None,
+        ef: int | None = None,
+    ):
+        """Returns (labels [Q, k] int64, distances [Q, k] f32) like
+        knnQuery_return_numpy (bindings.cpp:612-)."""
+        x = self._prep(data)
+        idx = self._require()
+        if k > idx.n - idx.num_deleted:
+            raise RuntimeError(
+                "Cannot return the results in a contiguous 2D array. "
+                "Probably ef or M is too small"
+            )  # reference wording for insufficient results
+        filter_ids = None
+        if filter is not None:
+            labels_arr = idx.labels[: idx.cap]
+            filter_ids = np.zeros(idx.cap, bool)
+            valid = labels_arr >= 0
+            filter_ids[valid] = [bool(filter(int(l)))
+                                 for l in labels_arr[valid]]
+        labels, dists = idx.knn_query(
+            x, k=k, ef=max(ef or self.ef, k), filter_ids=filter_ids
+        )
+        return labels, dists
+
+    def get_items(self, ids) -> np.ndarray:
+        return self._require().get_items(ids)
+
+    def get_ids_list(self):
+        return self._require().get_ids_list()
+
+    def get_current_count(self) -> int:
+        return self._require().n
+
+    def get_max_elements(self) -> int:
+        return self._require().cap
+
+    @property
+    def element_count(self) -> int:
+        return self._require().n
+
+    @property
+    def max_elements(self) -> int:
+        return self._require().cap
+
+    # -- persistence -------------------------------------------------------
+
+    def save_index(self, path: str) -> None:
+        self._require().save(path)
+
+    def load_index(
+        self, path: str, max_elements: int = 0,
+        allow_replace_deleted: bool = False,
+    ) -> None:
+        self._index = HNSWIndex.load(path, max_elements or None)
+        self._replace_deleted = allow_replace_deleted
+
+
+class BFIndex:
+    """Drop-in analogue of ``hnswlib.BFIndex`` (bindings.cpp:725-):
+    exact search over a flat store."""
+
+    def __init__(self, space: str, dim: int):
+        if space not in VALID_SPACES:
+            raise ValueError(f"Space {space} not available")
+        self.space = space
+        self.dim = int(dim)
+        self._x: np.ndarray | None = None
+        self._labels: np.ndarray | None = None
+
+    def init_index(self, max_elements: int) -> None:
+        self.cap = int(max_elements)
+        self._x = np.zeros((0, self.dim), np.float32)
+        self._labels = np.zeros((0,), np.int64)
+
+    def _prep(self, data) -> np.ndarray:
+        x = np.asarray(data, np.float32)
+        if x.ndim == 1:
+            x = x[None]
+        if self.space == "cosine":
+            x = np.asarray(normalize(x))
+        return x
+
+    def add_items(self, data, ids=None) -> None:
+        x = self._prep(data)
+        if self._x is None:
+            raise RuntimeError("Index not initialized")
+        if len(self._x) + len(x) > self.cap:
+            raise RuntimeError(
+                "The number of elements exceeds the specified limit"
+            )
+        if ids is None:
+            ids = np.arange(len(self._labels),
+                            len(self._labels) + len(x), dtype=np.int64)
+        self._x = np.concatenate([self._x, x])
+        self._labels = np.concatenate(
+            [self._labels, np.asarray(ids, np.int64).reshape(len(x))]
+        )
+
+    def delete_vector(self, label: int) -> None:
+        """Swap-with-last removal (bruteforce.h:64-103)."""
+        pos = int(np.nonzero(self._labels == label)[0][0])
+        self._x[pos] = self._x[-1]
+        self._labels[pos] = self._labels[-1]
+        self._x = self._x[:-1]
+        self._labels = self._labels[:-1]
+
+    def knn_query(self, data, k: int = 1):
+        x = self._prep(data)
+        metric = "ip" if self.space in ("ip", "cosine") else "l2"
+        d, i = brute_force_topk(x, self._x, k, metric=metric)
+        i = np.asarray(i)
+        labels = np.where(i >= 0, self._labels[np.clip(i, 0, None)], -1)
+        return labels, np.asarray(d)
+
+    def save_index(self, path: str) -> None:
+        np.savez(path, x=self._x, labels=self._labels, cap=self.cap,
+                 space=self.space)
+
+    def load_index(self, path: str, max_elements: int = 0) -> None:
+        z = np.load(path, allow_pickle=False)
+        self._x = z["x"]
+        self._labels = z["labels"]
+        self.cap = max(int(z["cap"]), max_elements)

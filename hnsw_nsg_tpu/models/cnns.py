@@ -1,0 +1,321 @@
+"""CNNS cluster pipeline: k-means partition -> per-cluster index -> routed
+multi-cluster search with global top-k merge.
+
+Reference flow (SURVEY.md §2.4):
+  * build stage 1 (CNNS/tests/cluster_IVF_nndescent.cpp): faiss IVF k-means,
+    per-cluster files {centroid + m random representatives, member data,
+    local->global mapping, nn-descent graph};
+  * build stage 2 (CNNS/tests/nndescent_nsg.cpp): per-cluster NSG;
+  * search (CNNS/tests/cluster_hnsw_nsg_search.cpp): HNSW over the
+    representative points routes each query to nprobe reps, clusters ranked
+    by rep hit count, per-cluster NSG search + exact re-distance +
+    local->global remap, global top-k with early stop.
+
+TPU re-design:
+  * k-means on device (models/kmeans.py) replaces faiss IVF;
+  * the router is a single GEMM over all n_clusters*(m+1) representative
+    points — on TPU a batched exact top-nprobe beats an HNSW walk (SURVEY.md
+    §7 design table), and it is exactly the reference's
+    ``cluster_knn_*`` ablation variant (experiment_feature/);
+  * clusters live as padded arrays [C, maxc, ...] (the mmap'd per-cluster
+    files become HBM-resident slabs);
+  * ``local_index="flat"``: probed clusters are searched exactly — one
+    gathered GEMM per probe slot (the ``cluster_knn_knn`` ablation, and the
+    TPU-fastest configuration since a ~1-4k-point cluster scan is a single
+    MXU tile pass);
+  * ``local_index="nsg"``: per-cluster NSGs laid out in one flat arena
+    [C*maxc, ...] with intra-cluster edges only; ALL probed clusters are
+    searched by ONE lockstep beam whose init seeds every probed cluster's
+    medoid neighborhood — the beam's shared top-L retset performs the
+    cross-cluster merge + early-stop pruning that the reference does with
+    a mutex-guarded bound (cluster_hnsw_nsg_search.cpp:237-251) for free:
+    clusters whose candidates cannot enter the retset stop contributing
+    frontier nodes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import PAD_DIST, PAD_ID, pairwise_dists, squared_norms
+from ..ops.topk import topk_smallest
+from ..utils.params import CNNSConfig, NSGBuildConfig
+from .beam import beam_search
+from .kmeans import kmeans
+from .nsg import build_nsg
+from .rptree import knn_graph_rp
+from ..ops.bruteforce import knn_graph_exact
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
+def _route_clusters(q, reps, nprobe: int, metric: str):
+    """Rank clusters by representative hit count (reference:
+    cluster_hnsw_nsg_search.cpp:146-173), ties broken by best rep rank.
+    Returns visit list [Q, nprobe] of cluster ids (PAD_ID padded)."""
+    c, m1, d = reps.shape
+    rep_flat = reps.reshape(c * m1, d)
+    rd = pairwise_dists(q, rep_flat, metric, exact=False)
+    n_rep = min(nprobe * m1, c * m1)
+    _, rep_idx = jax.lax.top_k(-rd, n_rep)      # [Q, n_rep]
+    cid = rep_idx // m1                          # [Q, n_rep]
+    # hit count per slot's cluster; first-occurrence dedup
+    eq = cid[:, :, None] == cid[:, None, :]
+    counts = jnp.sum(eq, axis=2)
+    first = ~jnp.any(
+        eq & jnp.tril(jnp.ones((n_rep, n_rep), jnp.bool_), -1)[None],
+        axis=2,
+    )
+    # score: hits desc, then earlier rep rank
+    rank = jax.lax.broadcasted_iota(jnp.int32, cid.shape, 1)
+    score = counts * n_rep - rank
+    score = jnp.where(first, score, -1)
+    _, order = jax.lax.top_k(score, min(nprobe, n_rep))
+    visit = jnp.take_along_axis(cid, order, axis=1)
+    got = jnp.take_along_axis(score, order, axis=1) >= 0
+    return jnp.where(got, visit, PAD_ID)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric):
+    """Exact search of each query's probed clusters, one jitted program:
+    lax.scan over probe slots, each slot = gathered cluster slab x query
+    GEMM + running top-k merge."""
+    nq = q.shape[0]
+    qf = q.astype(jnp.float32)
+    qn = squared_norms(qf) if metric == "l2" else jnp.zeros((nq,))
+
+    def slot_fn(carry, cid):
+        best_d, best_i = carry
+        ok = cid >= 0
+        safe = jnp.where(ok, cid, 0)
+        xc = jnp.take(data_c, safe, axis=0)        # [Q, maxc, d]
+        ic = jnp.take(ids_c, safe, axis=0)         # [Q, maxc]
+        dots = jnp.einsum(
+            "qd,qmd->qm", qf, xc.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        if metric in ("ip", "cosine"):
+            d = 1.0 - dots
+        else:
+            nrm = jnp.take(cnorms_c, safe, axis=0)
+            d = nrm - 2.0 * dots + qn[:, None]
+        valid = (ic >= 0) & ok[:, None]
+        d = jnp.where(valid, d, PAD_DIST)
+        ic = jnp.where(valid, ic, PAD_ID)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, ic], axis=1)
+        return topk_smallest(cat_d, cat_i, k), None
+
+    init = (
+        jnp.full((nq, k), PAD_DIST, jnp.float32),
+        jnp.full((nq, k), PAD_ID, jnp.int32),
+    )
+    (best_d, best_i), _ = jax.lax.scan(slot_fn, init, visit.T)
+    return best_d, best_i
+
+
+@dataclasses.dataclass
+class CNNSIndex:
+    reps: jax.Array          # [C, m+1, d] centroid + m member reps
+    data_c: jax.Array        # [C, maxc, d] padded cluster slabs
+    ids_c: jax.Array         # [C, maxc] global ids (PAD_ID padded)
+    sizes: np.ndarray        # [C]
+    metric: str = "l2"
+    local_index: str = "flat"
+    # nsg-local arena (flat layout, intra-cluster edges in flat ids)
+    flat_adj: jax.Array | None = None   # [C*maxc, R]
+    eps_flat: np.ndarray | None = None  # [C] entry points in flat ids
+    cnorms_c: jax.Array | None = None   # [C, maxc] cached cluster norms
+
+    def __post_init__(self):
+        if self.cnorms_c is None and self.metric == "l2":
+            self.cnorms_c = squared_norms(self.data_c)
+
+    @property
+    def n_clusters(self) -> int:
+        return self.reps.shape[0]
+
+    @property
+    def maxc(self) -> int:
+        return self.data_c.shape[1]
+
+    def _route(self, q: jax.Array, nprobe: int):
+        return _route_clusters(q, self.reps, nprobe, self.metric)
+
+    def search(
+        self,
+        queries,
+        k: int = 100,
+        nprobe: int | None = None,
+        l_search: int = 100,
+        expand: int = 1,
+    ):
+        """Returns (dists [Q, k] exact, global ids [Q, k])."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        nprobe = nprobe or max(1, self.n_clusters // 8)
+        visit = self._route(q, nprobe)  # [Q, V]
+
+        if self.local_index == "flat":
+            return self._search_flat(q, visit, k)
+        return self._search_nsg(q, visit, k, l_search, expand)
+
+    def _search_flat(self, q, visit, k):
+        cnorms = (
+            self.cnorms_c if self.cnorms_c is not None
+            else jnp.zeros(self.ids_c.shape, jnp.float32)
+        )
+        return _flat_probe_search(
+            q, visit, self.data_c, self.ids_c, cnorms, k, self.metric
+        )
+
+    def _search_nsg(self, q, visit, k, l_search, expand):
+        c, maxc, d = self.data_c.shape
+        flat_data = self.data_c.reshape(c * maxc, d)
+        flat_norms = squared_norms(flat_data)
+        flat_ids = self.ids_c.reshape(c * maxc)
+        nq = q.shape[0]
+        # init: every probed cluster's entry point + its neighbors
+        safe = jnp.where(visit >= 0, visit, 0)
+        eps = jnp.asarray(self.eps_flat)[safe]            # [Q, V]
+        ep_nbrs = jnp.take(self.flat_adj, eps, axis=0)    # [Q, V, R]
+        init = jnp.concatenate(
+            [eps[:, :, None], ep_nbrs], axis=2
+        ).reshape(nq, -1)
+        init = jnp.where(
+            jnp.repeat(visit >= 0, init.shape[1] // visit.shape[1], axis=1),
+            init, PAD_ID,
+        )
+        res = beam_search(
+            q, flat_data, flat_norms, self.flat_adj, init,
+            width=max(l_search, k), metric=self.metric, expand=expand,
+        )
+        ids = res.ids[:, :k]
+        dd = res.dists[:, :k]
+        if self.metric == "l2":
+            dd = dd + squared_norms(q)[:, None]
+        gids = jnp.where(ids >= 0, flat_ids[jnp.where(ids >= 0, ids, 0)],
+                         PAD_ID)
+        return dd, gids
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            reps=np.asarray(self.reps),
+            data_c=np.asarray(self.data_c),
+            ids_c=np.asarray(self.ids_c),
+            sizes=self.sizes,
+            metric=self.metric,
+            local_index=self.local_index,
+            flat_adj=(np.asarray(self.flat_adj)
+                      if self.flat_adj is not None else np.zeros((0, 0), np.int32)),
+            eps_flat=(self.eps_flat if self.eps_flat is not None
+                      else np.zeros(0, np.int64)),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CNNSIndex":
+        z = np.load(path, allow_pickle=False)
+        flat_adj = z["flat_adj"]
+        return cls(
+            reps=jnp.asarray(z["reps"]),
+            data_c=jnp.asarray(z["data_c"]),
+            ids_c=jnp.asarray(z["ids_c"]),
+            sizes=z["sizes"],
+            metric=str(z["metric"]),
+            local_index=str(z["local_index"]),
+            flat_adj=jnp.asarray(flat_adj) if flat_adj.size else None,
+            eps_flat=z["eps_flat"] if z["eps_flat"].size else None,
+        )
+
+
+def build_cnns(
+    data,
+    cfg: CNNSConfig = CNNSConfig(),
+    metric: str = "l2",
+    local_index: str = "flat",
+    seed: int = 0,
+    verbose: bool = False,
+) -> CNNSIndex:
+    """Build the full CNNS pipeline (both reference build stages)."""
+    data = jnp.asarray(data)
+    n, d = data.shape
+    rng = np.random.default_rng(seed)
+
+    centroids, assign = kmeans(
+        data, cfg.n_clusters, iters=cfg.kmeans_iters, seed=seed
+    )
+    assign = np.asarray(assign)
+    c = centroids.shape[0]
+
+    order = np.argsort(assign, kind="stable")
+    sizes = np.bincount(assign, minlength=c)
+    maxc = int(((sizes.max() + 7) // 8) * 8)
+    ids_c = np.full((c, maxc), PAD_ID, np.int32)
+    starts = np.zeros(c + 1, np.int64)
+    starts[1:] = np.cumsum(sizes)
+    for ci in range(c):
+        ids_c[ci, : sizes[ci]] = order[starts[ci] : starts[ci + 1]]
+
+    data_np = np.asarray(data)
+    data_c = np.zeros((c, maxc, d), np.float32)
+    for ci in range(c):
+        data_c[ci, : sizes[ci]] = data_np[ids_c[ci, : sizes[ci]]]
+
+    # representatives: centroid + m random members
+    # (cluster_IVF_nndescent.cpp:143-186)
+    reps = np.zeros((c, cfg.m + 1, d), np.float32)
+    reps[:, 0] = np.asarray(centroids)
+    for ci in range(c):
+        sz = max(sizes[ci], 1)
+        pick = rng.integers(0, sz, cfg.m)
+        reps[ci, 1:] = data_c[ci, pick]
+
+    flat_adj = None
+    eps_flat = None
+    if local_index == "nsg":
+        r_deg = cfg.nsg.R
+        flat_adj_np = np.full((c * maxc, r_deg), PAD_ID, np.int32)
+        eps_flat = np.zeros(c, np.int64)
+        for ci in range(c):
+            sz = int(sizes[ci])
+            if sz <= 1:
+                eps_flat[ci] = ci * maxc
+                continue
+            xc = data_c[ci, :sz]
+            kk = min(cfg.nndescent.K, sz - 1)
+            if sz <= 4096:
+                knn = knn_graph_exact(jnp.asarray(xc), kk, query_block=4096)
+            else:
+                knn = knn_graph_rp(xc, kk, metric=metric, seed=seed + ci)
+            nsg = build_nsg(
+                xc, knn, cfg.nsg, metric=metric, seed=seed + ci
+            )
+            adj_local = np.asarray(nsg.adj)
+            remap = np.where(adj_local >= 0, adj_local + ci * maxc, PAD_ID)
+            flat_adj_np[ci * maxc : ci * maxc + sz, : adj_local.shape[1]] = (
+                remap
+            )
+            eps_flat[ci] = nsg.ep + ci * maxc
+            if verbose:
+                print(f"cluster {ci + 1}/{c}: NSG built over {sz} points")
+        flat_adj = jnp.asarray(flat_adj_np)
+
+    return CNNSIndex(
+        reps=jnp.asarray(reps),
+        data_c=jnp.asarray(data_c),
+        ids_c=jnp.asarray(ids_c),
+        sizes=sizes,
+        metric=metric,
+        local_index=local_index,
+        flat_adj=flat_adj,
+        eps_flat=eps_flat,
+    )

@@ -1,0 +1,547 @@
+"""Hierarchical NSW (HNSW) — TPU-native engine.
+
+Reference: ``HierarchicalNSW`` (hnswlib/hnswlib/hnswalg.h, 1412 LoC). The
+mapping of its machinery onto TPU:
+
+  * flat node arena + per-node malloc'd upper links (hnswalg.h:120-141) ->
+    padded adjacency arrays: level 0 ``int32[cap, 2M]``, levels >= 1
+    ``int32[cap, M]`` each (upper levels hold ~N/M^l live rows);
+  * ``addPoint``'s per-element lock dance (hnswalg.h:954-992, 1153-1267) ->
+    bulk-synchronous batched insertion: a whole batch descends greedily,
+    beam-collects ef_construction candidates per level, prunes with the
+    shared occlusion kernel (getNeighborsByHeuristic2, :443-483 — the same
+    rule as NSG's sync_prune), links, and applies reverse edges with
+    overflow re-pruning (mutuallyConnectNewElement, :506-630). Intra-batch
+    connectivity comes from a batch-pairwise GEMM merged into the candidate
+    pools (the sequential reference gets this for free; batched, it is one
+    [B, B] distance block);
+  * level sampling ``-log(U) * mult_`` with ``mult_ = 1/ln(M)``
+    (hnswalg.h:207-211);
+  * ``searchKnn`` (:1270-1324) -> batched greedy descent over upper levels +
+    the shared lockstep ef-beam at level 0;
+  * delete machinery (markDelete/unmarkDelete, :853-937) -> a boolean mask;
+    deleted nodes stay traversable but are filtered from results, matching
+    the reference's behavior;
+  * ``resizeIndex`` (:633-656), label mapping, ``checkIntegrity`` (:1381-
+    1410) and hop/distance metrics all have direct equivalents.
+
+VisitedList pools, label-stripe locks and the global enterpoint lock have no
+TPU counterpart — batched construction rounds replace fine-grained
+concurrency (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import (
+    PAD_DIST,
+    PAD_ID,
+    gathered_dists,
+    normalize,
+    pairwise_dists,
+    squared_norms,
+)
+from ..ops.topk import topk_smallest
+from ..utils.params import HNSWConfig
+from .beam import beam_search, greedy_descent
+from .prune import occlusion_prune, occlusion_prune_padded
+
+_BIG = np.float32(3.4e37)
+
+
+class HNSWIndex:
+    """Mutable HNSW index over a fixed-capacity arena."""
+
+    def __init__(
+        self,
+        dim: int,
+        max_elements: int,
+        cfg: HNSWConfig = HNSWConfig(),
+        metric: str = "l2",
+        dtype=jnp.float32,
+    ):
+        self.dim = dim
+        self.cap = int(max_elements)
+        self.cfg = cfg
+        self.metric = metric
+        self.dtype = dtype
+
+        self.n = 0
+        self.max_level = -1
+        self.ep = PAD_ID
+
+        self.data = jnp.zeros((self.cap, dim), dtype)
+        self.norms = jnp.zeros((self.cap,), jnp.float32)
+        self.levels = np.zeros((self.cap,), np.int32)
+        self.adj0 = jnp.full((self.cap, 2 * cfg.M), PAD_ID, jnp.int32)
+        self.adj_up: list[jax.Array] = []  # level l adjacency at index l-1
+
+        self.deleted = np.zeros((self.cap,), bool)
+        self.num_deleted = 0
+        self.labels = np.full((self.cap,), -1, np.int64)
+        self.label_to_id: dict[int, int] = {}
+
+        self._rng = np.random.default_rng(cfg.random_seed)
+        # search metrics (metric_hops / metric_distance_computations,
+        # hnswalg.h:65-66)
+        self.metric_hops = 0
+        self.metric_distance_computations = 0
+
+    # ------------------------------------------------------------------
+    # construction
+
+    def _sample_levels(self, b: int) -> np.ndarray:
+        u = self._rng.random(b)
+        return (-np.log(u) * self.cfg.mult).astype(np.int32)
+
+    def _adj_at(self, level: int) -> jax.Array:
+        return self.adj0 if level == 0 else self.adj_up[level - 1]
+
+    def _set_adj(self, level: int, adj: jax.Array) -> None:
+        if level == 0:
+            self.adj0 = adj
+        else:
+            self.adj_up[level - 1] = adj
+
+    def _ensure_levels(self, lvl: int) -> None:
+        while len(self.adj_up) < lvl:
+            self.adj_up.append(
+                jnp.full((self.cap, self.cfg.M), PAD_ID, jnp.int32)
+            )
+
+    def add_items(self, vecs, labels=None, batch_size: int = 4096):
+        """Batched insertion (the reference's parallel addItems,
+        bindings.cpp:251-300, as bulk-synchronous rounds)."""
+        vecs = np.asarray(vecs, np.float32)
+        if vecs.ndim == 1:
+            vecs = vecs[None]
+        b_total = vecs.shape[0]
+        if labels is None:
+            labels = np.arange(self.n, self.n + b_total, dtype=np.int64)
+        labels = np.asarray(labels, np.int64).reshape(b_total)
+        if self.n + b_total > self.cap:
+            raise RuntimeError(
+                "The number of elements exceeds the specified limit"
+            )  # hnswalg.h:1177-1179 wording
+        for s in range(0, b_total, batch_size):
+            self._insert_batch(
+                vecs[s : s + batch_size], labels[s : s + batch_size]
+            )
+
+    def _insert_batch(self, x: np.ndarray, labels: np.ndarray) -> None:
+        cfg = self.cfg
+        b = x.shape[0]
+        ids_np = np.arange(self.n, self.n + b, dtype=np.int32)
+        new_levels = self._sample_levels(b)
+        batch_max_level = int(new_levels.max())
+        self._ensure_levels(batch_max_level)
+
+        xj = jnp.asarray(x, self.dtype)
+        self.data = jax.lax.dynamic_update_slice_in_dim(
+            self.data, xj, self.n, axis=0
+        )
+        self.norms = jax.lax.dynamic_update_slice_in_dim(
+            self.norms, squared_norms(xj), self.n, axis=0
+        )
+        self.levels[self.n : self.n + b] = new_levels
+        self.labels[self.n : self.n + b] = labels
+        for i, lab in enumerate(labels):
+            self.label_to_id[int(lab)] = int(ids_np[i])
+
+        ids = jnp.asarray(ids_np)
+        qn = squared_norms(xj) if self.metric == "l2" else jnp.zeros((b,))
+
+        # ---- phase 1: collect candidate pools per level from the old graph
+        pools: dict[int, tuple] = {}
+        if self.n > 0:
+            cur = jnp.full((b,), self.ep, jnp.int32)
+            for lvl in range(self.max_level, -1, -1):
+                adj_l = self._adj_at(lvl)
+                beam_rows = new_levels >= lvl
+                if not beam_rows.any():
+                    cur, _ = greedy_descent(
+                        xj, self.data, self.norms, adj_l, cur,
+                        metric=self.metric,
+                    )
+                    continue
+                # beam for everyone (greedy rows just get a cheap beam too —
+                # one batched call instead of two partial ones), width ef_c
+                res = beam_search(
+                    xj, self.data, self.norms, adj_l, cur[:, None],
+                    width=cfg.ef_construction, metric=self.metric,
+                    max_hops=256,
+                )
+                pools[lvl] = (res.dists, res.ids)
+                cur = jnp.where(beam_rows | True, res.ids[:, 0], cur)
+        else:
+            pools = {}
+
+        # ---- phase 2: intra-batch candidates (one [B, B] GEMM)
+        if b > 1:
+            bb = pairwise_dists(
+                jnp.asarray(x), jnp.asarray(x), self.metric, exact=True
+            )
+            eye = jnp.eye(b, dtype=jnp.bool_)
+            bb = jnp.where(eye, PAD_DIST, bb)
+            take = min(cfg.ef_construction, b - 1)
+            bb_d, bb_j = jax.lax.top_k(-bb, take)
+            bb_d = -bb_d
+            bb_ids = ids[bb_j]  # global ids of batch peers
+            bb_peer_levels = jnp.asarray(new_levels)[bb_j]
+        else:
+            bb_d = bb_ids = bb_peer_levels = None
+
+        # ---- phase 3: per level, prune + link + reverse insert
+        new_edges = []  # (level, src, dst, dist) accumulated then applied
+        for lvl in range(batch_max_level, -1, -1):
+            rows = np.nonzero(new_levels >= lvl)[0]
+            if len(rows) == 0:
+                continue
+            rows_j = jnp.asarray(rows)
+            parts_i, parts_d = [], []
+            if lvl in pools:
+                pd, pi = pools[lvl]
+                pd = pd + (
+                    qn[:, None] if self.metric == "l2" else 0.0
+                )  # exact for pruning
+                parts_i.append(pi[rows_j])
+                parts_d.append(pd[rows_j])
+            if bb_ids is not None:
+                ok = bb_peer_levels[rows_j] >= lvl
+                parts_i.append(jnp.where(ok, bb_ids[rows_j], PAD_ID))
+                parts_d.append(
+                    jnp.where(ok, bb_d[rows_j], PAD_DIST)
+                )
+            if not parts_i:
+                continue
+            pool_i = jnp.concatenate(parts_i, axis=1)
+            pool_d = jnp.concatenate(parts_d, axis=1)
+            kept_i, kept_d = occlusion_prune_padded(
+                xj[rows_j], pool_i, pool_d, self.data, self.norms,
+                max_keep=cfg.M, metric=self.metric,
+                self_ids=ids[rows_j],
+            )
+            # write the new nodes' rows (padded to row width)
+            adj_l = self._adj_at(lvl)
+            w = adj_l.shape[1]
+            rowbuf = jnp.full((len(rows), w), PAD_ID, jnp.int32)
+            rowbuf = rowbuf.at[:, : cfg.M].set(kept_i)
+            adj_l = adj_l.at[ids[rows_j]].set(rowbuf)
+            self._set_adj(lvl, adj_l)
+            new_edges.append((lvl, rows, np.asarray(kept_i), np.asarray(kept_d)))
+
+        for lvl, rows, kept_i, kept_d in new_edges:
+            self._reverse_insert(lvl, ids_np[rows], kept_i, kept_d)
+
+        # ---- phase 4: enterpoint/bookkeeping
+        if batch_max_level > self.max_level:
+            self.max_level = batch_max_level
+            self.ep = int(ids_np[int(np.argmax(new_levels))])
+        if self.ep == PAD_ID:
+            self.ep = int(ids_np[0])
+        self.n += b
+
+    def _reverse_insert(
+        self, lvl: int, src: np.ndarray, kept_i: np.ndarray,
+        kept_d: np.ndarray,
+    ) -> None:
+        """Bidirectional linking with overflow re-prune
+        (mutuallyConnectNewElement's second half, hnswalg.h:554-627)."""
+        cap_deg = 2 * self.cfg.M if lvl == 0 else self.cfg.M
+        m = kept_i >= 0
+        e_src = np.repeat(src, kept_i.shape[1])[m.reshape(-1)]
+        e_dst = kept_i.reshape(-1)[m.reshape(-1)]
+        e_d = kept_d.reshape(-1)[m.reshape(-1)]
+        if len(e_dst) == 0:
+            return
+        adj_l = np.array(self._adj_at(lvl))  # writable host copy
+
+        # drop if already linked back
+        present = (adj_l[e_dst] == e_src[:, None]).any(axis=1)
+        e_src, e_dst, e_d = e_src[~present], e_dst[~present], e_d[~present]
+        if len(e_dst) == 0:
+            return
+
+        order = np.lexsort((e_d, e_dst))
+        e_src, e_dst, e_d = e_src[order], e_dst[order], e_d[order]
+        uniq, start, counts = np.unique(
+            e_dst, return_index=True, return_counts=True
+        )
+        # cap incoming proposals per destination at cap_deg (sorted by
+        # distance, so these are the closest; keeps the re-prune pool width
+        # bounded at 2*cap_deg instead of hub-node in-degree)
+        cap_in = min(int(counts.max()), cap_deg)
+        inc = np.full((len(uniq), cap_in), PAD_ID, np.int32)
+        inc_d = np.full((len(uniq), cap_in), _BIG, np.float32)
+        for col in range(cap_in):
+            sel = counts > col
+            inc[sel, col] = e_src[start[sel] + col]
+            inc_d[sel, col] = e_d[start[sel] + col]
+
+        deg = (adj_l[uniq, :cap_deg] >= 0).sum(axis=1)
+        n_inc = np.minimum(counts, cap_in)
+        overflow = deg + n_inc > cap_deg
+
+        room = np.nonzero(~overflow)[0]
+        if len(room):
+            rows = uniq[room]
+            base = deg[room]
+            for col in range(cap_in):
+                mcol = n_inc[room] > col
+                adj_l[rows[mcol], base[mcol] + col] = inc[room[mcol], col]
+
+        ov = np.nonzero(overflow)[0]
+        if len(ov):
+            rows = uniq[ov]
+            rows_j = jnp.asarray(rows)
+            exist = jnp.asarray(adj_l[rows][:, :cap_deg])
+            vecs = jnp.take(self.data, rows_j, axis=0)
+            exist_d = gathered_dists(
+                vecs, self.data, exist, self.metric, self.norms, exact=True
+            )
+            pool_i = jnp.concatenate([exist, jnp.asarray(inc[ov])], axis=1)
+            pool_d = jnp.concatenate(
+                [exist_d, jnp.asarray(inc_d[ov])], axis=1
+            )
+            kept2_i, _ = occlusion_prune_padded(
+                vecs, pool_i, pool_d, self.data, self.norms,
+                max_keep=cap_deg, metric=self.metric, self_ids=rows_j,
+            )
+            full = np.full((len(rows), adj_l.shape[1]), PAD_ID, np.int32)
+            full[:, :cap_deg] = np.asarray(kept2_i)
+            adj_l[rows] = full
+
+        self._set_adj(lvl, jnp.asarray(adj_l))
+
+    # ------------------------------------------------------------------
+    # search
+
+    def knn_query(
+        self,
+        queries,
+        k: int = 1,
+        ef: int | None = None,
+        filter_ids: np.ndarray | None = None,
+        expand: int = 1,
+    ):
+        """Batched searchKnn (hnswalg.h:1270-1324). Returns
+        (labels [Q, k] int64, dists [Q, k] exact metric values).
+
+        filter_ids: optional bool mask [cap] over internal ids (the
+        BaseFilterFunctor analogue, applied to result candidates)."""
+        if self.n == 0:
+            raise RuntimeError("cannot query an empty index")
+        ef = max(ef or self.cfg.ef, k)
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        nq = q.shape[0]
+
+        cur = jnp.full((nq,), self.ep, jnp.int32)
+        hops = 0
+        for lvl in range(self.max_level, 0, -1):
+            cur, _ = greedy_descent(
+                q, self.data, self.norms, self.adj_up[lvl - 1], cur,
+                metric=self.metric,
+            )
+        # widen ef when deletions/filters will eat result slots
+        frac_dead = self.num_deleted / max(self.n, 1)
+        ef_eff = ef if frac_dead == 0 and filter_ids is None else min(
+            int(ef * (1 + 2 * frac_dead)) + (0 if filter_ids is None else ef),
+            max(self.n, ef),
+        )
+        res = beam_search(
+            q, self.data, self.norms, self.adj0, cur[:, None],
+            width=ef_eff, metric=self.metric, expand=expand,
+        )
+        self.metric_hops += int(jnp.sum(res.hops))
+        self.metric_distance_computations += int(jnp.sum(res.evals))
+
+        d, i = res.dists, res.ids
+        drop = jnp.asarray(self.deleted)[jnp.where(i >= 0, i, 0)] & (i >= 0)
+        if filter_ids is not None:
+            drop = drop | (
+                ~jnp.asarray(filter_ids)[jnp.where(i >= 0, i, 0)] & (i >= 0)
+            )
+        d = jnp.where(drop | (i < 0), PAD_DIST, d)
+        i = jnp.where(drop, PAD_ID, i)
+        d, i = topk_smallest(d, i, k)
+        if self.metric == "l2":
+            d = d + squared_norms(q)[:, None]
+        i_np = np.asarray(i)
+        labels = np.where(i_np >= 0, self.labels[np.clip(i_np, 0, None)], -1)
+        return labels, np.asarray(d)
+
+    # ------------------------------------------------------------------
+    # mutation API (markDelete etc., hnswalg.h:853-992)
+
+    def mark_deleted(self, label: int) -> None:
+        iid = self.label_to_id[int(label)]
+        if not self.deleted[iid]:
+            self.deleted[iid] = True
+            self.num_deleted += 1
+
+    def unmark_deleted(self, label: int) -> None:
+        iid = self.label_to_id[int(label)]
+        if self.deleted[iid]:
+            self.deleted[iid] = False
+            self.num_deleted -= 1
+
+    def is_marked_deleted(self, label: int) -> bool:
+        return bool(self.deleted[self.label_to_id[int(label)]])
+
+    def replace_point(self, slot: int, vec, label: int) -> None:
+        """Reuse a (deleted) slot for a new point: update the vector in
+        place and rebuild the slot's out-links at its existing levels — the
+        updatePoint / repairConnectionsForUpdate analogue
+        (hnswalg.h:995-1139). Stale in-links to the slot now simply point at
+        the new vector, which is the node's new identity."""
+        cfg = self.cfg
+        x = jnp.asarray(np.asarray(vec, np.float32)[None])
+        self.data = self.data.at[slot].set(x[0])
+        self.norms = self.norms.at[slot].set(squared_norms(x)[0])
+        if self.deleted[slot]:
+            self.deleted[slot] = False
+            self.num_deleted -= 1
+        self.labels[slot] = label
+        self.label_to_id[int(label)] = slot
+
+        node_level = int(self.levels[slot])
+        cur = jnp.full((1,), self.ep, jnp.int32)
+        sid = jnp.asarray([slot], jnp.int32)
+        for lvl in range(self.max_level, -1, -1):
+            adj_l = self._adj_at(lvl)
+            res = beam_search(
+                x, self.data, self.norms, adj_l, cur[:, None],
+                width=cfg.ef_construction, metric=self.metric, max_hops=256,
+            )
+            cur = res.ids[:, 0]
+            if lvl > node_level:
+                continue
+            pd = res.dists
+            if self.metric == "l2":
+                pd = pd + squared_norms(x)[:, None]
+            kept_i, kept_d = occlusion_prune_padded(
+                x, res.ids, pd, self.data, self.norms,
+                max_keep=cfg.M, metric=self.metric, self_ids=sid,
+            )
+            w = adj_l.shape[1]
+            rowbuf = jnp.full((1, w), PAD_ID, jnp.int32)
+            rowbuf = rowbuf.at[:, : cfg.M].set(kept_i)
+            self._set_adj(lvl, adj_l.at[sid].set(rowbuf))
+            self._reverse_insert(
+                lvl, np.array([slot], np.int32),
+                np.asarray(kept_i), np.asarray(kept_d),
+            )
+
+    def resize_index(self, new_cap: int) -> None:
+        """resizeIndex (hnswalg.h:633-656)."""
+        if new_cap < self.n:
+            raise ValueError("new capacity below current element count")
+        grow = new_cap - self.cap
+        if grow <= 0:
+            return
+        self.data = jnp.concatenate(
+            [self.data, jnp.zeros((grow, self.dim), self.dtype)], axis=0
+        )
+        self.norms = jnp.concatenate(
+            [self.norms, jnp.zeros((grow,), jnp.float32)], axis=0
+        )
+        self.adj0 = jnp.concatenate(
+            [self.adj0,
+             jnp.full((grow, self.adj0.shape[1]), PAD_ID, jnp.int32)],
+            axis=0,
+        )
+        self.adj_up = [
+            jnp.concatenate(
+                [a, jnp.full((grow, a.shape[1]), PAD_ID, jnp.int32)], axis=0
+            )
+            for a in self.adj_up
+        ]
+        self.levels = np.concatenate([self.levels, np.zeros(grow, np.int32)])
+        self.deleted = np.concatenate([self.deleted, np.zeros(grow, bool)])
+        self.labels = np.concatenate(
+            [self.labels, np.full(grow, -1, np.int64)]
+        )
+        self.cap = new_cap
+
+    def get_items(self, labels) -> np.ndarray:
+        iids = np.array([self.label_to_id[int(l)] for l in np.atleast_1d(labels)])
+        return np.asarray(self.data)[iids]
+
+    def get_ids_list(self):
+        return [int(l) for l in self.labels[: self.n] if l >= 0]
+
+    # ------------------------------------------------------------------
+    # integrity / persistence
+
+    def check_integrity(self) -> bool:
+        """checkIntegrity (hnswalg.h:1381-1410): degree bounds, no self or
+        duplicate edges, positive inbound degree."""
+        inbound = np.zeros(self.n, np.int64)
+        for lvl in range(0, self.max_level + 1):
+            adj = np.asarray(self._adj_at(lvl))[: self.n]
+            cap_deg = 2 * self.cfg.M if lvl == 0 else self.cfg.M
+            live = self.levels[: self.n] >= lvl
+            rows = adj[live]
+            if ((rows >= 0).sum(axis=1) > cap_deg).any():
+                return False
+            row_ids = np.nonzero(live)[0]
+            if (rows == row_ids[:, None]).any():
+                return False
+            for r in rows:
+                v = r[r >= 0]
+                if len(np.unique(v)) != len(v):
+                    return False
+            v = rows[rows >= 0]
+            np.add.at(inbound, v, 1)
+        return bool((inbound[: self.n] > 0).all() or self.n <= 1)
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            data=np.asarray(self.data[: self.n]),
+            adj0=np.asarray(self.adj0[: self.n]),
+            adj_up=np.stack(
+                [np.asarray(a[: self.n]) for a in self.adj_up]
+            ) if self.adj_up else np.zeros((0, self.n, self.cfg.M), np.int32),
+            levels=self.levels[: self.n],
+            labels=self.labels[: self.n],
+            deleted=self.deleted[: self.n],
+            meta=np.array(
+                [self.n, self.cap, self.max_level, self.ep, self.cfg.M,
+                 self.cfg.ef_construction, self.num_deleted]
+            ),
+            metric=self.metric,
+        )
+
+    @classmethod
+    def load(cls, path: str, max_elements: int | None = None) -> "HNSWIndex":
+        z = np.load(path, allow_pickle=False)
+        n, cap, max_level, ep, m, efc, ndel = (int(v) for v in z["meta"])
+        cap = max(max_elements or cap, n)
+        cfg = HNSWConfig(M=m, ef_construction=efc)
+        idx = cls(z["data"].shape[1], cap, cfg, str(z["metric"]))
+        idx.n = n
+        idx.max_level = max_level
+        idx.ep = ep
+        idx.num_deleted = ndel
+        idx.data = idx.data.at[:n].set(jnp.asarray(z["data"]))
+        idx.norms = idx.norms.at[:n].set(squared_norms(jnp.asarray(z["data"])))
+        idx.adj0 = idx.adj0.at[:n].set(jnp.asarray(z["adj0"]))
+        idx.adj_up = []
+        for lvl in range(z["adj_up"].shape[0]):
+            a = jnp.full((cap, m), PAD_ID, jnp.int32)
+            idx.adj_up.append(a.at[:n].set(jnp.asarray(z["adj_up"][lvl])))
+        idx.levels[:n] = z["levels"]
+        idx.labels[:n] = z["labels"]
+        idx.deleted[:n] = z["deleted"]
+        idx.label_to_id = {
+            int(l): i for i, l in enumerate(z["labels"]) if l >= 0
+        }
+        return idx

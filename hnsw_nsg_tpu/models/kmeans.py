@@ -1,0 +1,102 @@
+"""Lloyd's k-means on TPU — the faiss IVF replacement.
+
+The reference partitions with faiss ``IndexIVFFlat`` train+add
+(CNNS/tests/cluster_IVF_nndescent.cpp:117-128) and assigns points with
+``quantizer->assign`` (:131-138). On TPU both steps are one GEMM each:
+assignment = argmin of a [N, k] pairwise-distance block; update =
+scatter-add of points into centroid sums. Empty clusters are re-seeded from
+the points currently farthest from their centroid (the same spirit as
+faiss's split-biggest-cluster repair).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.distance import pairwise_dists, squared_norms
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign(data, centroids, c_norms, chunk: int = 65536):
+    """argmin_k ||x - c_k||^2 for every point, chunked over N."""
+    n = data.shape[0]
+    nb = -(-n // chunk)
+
+    def block(i):
+        x = jax.lax.dynamic_slice_in_dim(data, i * chunk, chunk, axis=0)
+        d = pairwise_dists(x, centroids, "l2", c_norms, exact=False)
+        return jnp.argmin(d, axis=1).astype(jnp.int32), jnp.min(d, axis=1)
+
+    if nb == 1 and n == chunk:
+        return block(0)
+    parts = [block(i) for i in range(n // chunk)]
+    rem = n % chunk
+    if rem:
+        x = data[n - rem:]
+        d = pairwise_dists(x, centroids, "l2", c_norms, exact=False)
+        parts.append(
+            (jnp.argmin(d, axis=1).astype(jnp.int32), jnp.min(d, axis=1))
+        )
+    return (
+        jnp.concatenate([p[0] for p in parts]),
+        jnp.concatenate([p[1] for p in parts]),
+    )
+
+
+@jax.jit
+def _update(data, assign, k_arr):
+    """Scatter-add centroid update. k_arr is a [k, d]-shaped zeros template
+    so k stays out of the jit cache key."""
+    sums = k_arr.at[assign].add(data.astype(jnp.float32))
+    counts = jnp.zeros((k_arr.shape[0],), jnp.float32).at[assign].add(1.0)
+    return sums, counts
+
+
+def kmeans(
+    data,
+    k: int,
+    iters: int = 20,
+    seed: int = 0,
+    chunk: int = 65536,
+    verbose: bool = False,
+):
+    """Returns (centroids [k, d] f32, assignments [N] i32)."""
+    data = jnp.asarray(data)
+    n, d = data.shape
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    centroids = jnp.asarray(
+        np.asarray(data)[rng.choice(n, k, replace=False)], jnp.float32
+    )
+    template = jnp.zeros((k, d), jnp.float32)
+
+    assign = None
+    for it in range(iters):
+        c_norms = squared_norms(centroids)
+        assign, dmin = _assign(data, centroids, c_norms, chunk=min(chunk, n))
+        sums, counts = _update(data, assign, template)
+        empty = counts == 0
+        n_empty = int(jnp.sum(empty))
+        centroids = jnp.where(
+            empty[:, None], centroids, sums / jnp.maximum(counts, 1)[:, None]
+        )
+        if n_empty:
+            # re-seed empty clusters from the worst-assigned points
+            far = np.asarray(jnp.argsort(-dmin)[:n_empty])
+            idxs = np.nonzero(np.asarray(empty))[0]
+            centroids = centroids.at[jnp.asarray(idxs)].set(
+                jnp.take(data, jnp.asarray(far), axis=0).astype(jnp.float32)
+            )
+        if verbose:
+            print(
+                f"kmeans iter {it + 1}/{iters}: mean dist "
+                f"{float(jnp.mean(dmin)):.4f} empty={n_empty}"
+            )
+
+    c_norms = squared_norms(centroids)
+    assign, _ = _assign(data, centroids, c_norms, chunk=min(chunk, n))
+    return centroids, assign

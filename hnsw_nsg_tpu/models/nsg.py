@@ -41,7 +41,7 @@ from ..ops.topk import topk_smallest
 from ..utils import io as io_utils
 from ..utils.params import NSGBuildConfig
 from .beam import beam_search, beam_search_collect
-from .prune import occlusion_prune
+from .prune import occlusion_prune, occlusion_prune_padded
 
 
 @dataclasses.dataclass
@@ -248,7 +248,7 @@ def _interinsert(
     uniq, start_idx, counts = np.unique(
         dst, return_index=True, return_counts=True
     )
-    cap_in = min(int(counts.max()), 3 * r)
+    cap_in = min(int(counts.max()), r)
     inc_ids = np.full((len(uniq), cap_in), PAD_ID, np.int32)
     inc_d = np.full((len(uniq), cap_in), np.float32(3.4e37), np.float32)
     for col in range(cap_in):
@@ -281,7 +281,7 @@ def _interinsert(
                 [adj_np[rows], inc_ids[sel]], axis=1
             )
             pool_d = np.concatenate([dists_np[rows], inc_d[sel]], axis=1)
-            kept_i, kept_d = occlusion_prune(
+            kept_i, kept_d = occlusion_prune_padded(
                 jnp.take(data, jnp.asarray(rows), axis=0),
                 jnp.asarray(pool_ids),
                 jnp.asarray(pool_d),

@@ -65,55 +65,107 @@ def occlusion_prune(
     d = jnp.where(cand_ids < 0, PAD_DIST, cand_dists)
     if self_ids is not None:
         d = jnp.where(cand_ids == self_ids[:, None], PAD_DIST, d)
+    # sort candidates ascending; entries past the scan cap are dropped
     order = jnp.argsort(d, axis=1)
-    s_ids = jnp.take_along_axis(cand_ids, order, axis=1)
-    s_d = jnp.take_along_axis(d, order, axis=1)
+    s_ids = jnp.take_along_axis(cand_ids, order, axis=1)[:, :scan]
+    s_d = jnp.take_along_axis(d, order, axis=1)[:, :scan]
+    c = scan
 
-    node_f = node_vecs.astype(jnp.float32)
-    dim = data.shape[1]
+    # The greedy scan is equivalent to max_keep ROUNDS of "take the closest
+    # not-yet-occluded candidate, then occlude everything it dominates":
+    # each round tests ALL candidates against the one new kept vector in a
+    # single [B, C] batched distance block — max_keep (<=R ~ 16-50) fat
+    # steps instead of C (~500) thin ones.
+    cand_vecs = jnp.take(
+        data, jnp.where(s_ids >= 0, s_ids, 0), axis=0
+    ).astype(jnp.float32)  # [B, C, d]
+    if metric == "l2":
+        cand_norms = jnp.take(norms, jnp.where(s_ids >= 0, s_ids, 0), axis=0)
 
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
     kept_ids = jnp.full((b, max_keep), PAD_ID, jnp.int32)
-    kept_vecs = jnp.zeros((b, max_keep, dim), jnp.float32)
-    kept_norms = jnp.zeros((b, max_keep), jnp.float32)
-    kept_n = jnp.zeros((b,), jnp.int32)
     kept_d = jnp.full((b, max_keep), PAD_DIST, jnp.float32)
+    dead = ~((s_ids >= 0) & (s_d < PAD_DIST))  # occluded-or-invalid-or-kept
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (b, max_keep), 1)
-
-    def step(j, carry):
-        kept_ids, kept_vecs, kept_norms, kept_d, kept_n = carry
-        cid = jax.lax.dynamic_slice_in_dim(s_ids, j, 1, axis=1)[:, 0]  # [B]
-        cdist = jax.lax.dynamic_slice_in_dim(s_d, j, 1, axis=1)[:, 0]
-        valid = (cid >= 0) & (cdist < PAD_DIST)
-        v = jnp.take(data, jnp.where(valid, cid, 0), axis=0).astype(
-            jnp.float32
-        )  # [B, d]
-        # exact pair distances candidate <-> kept set
+    def round_fn(r, carry):
+        kept_ids, kept_d, dead = carry
+        # closest still-eligible candidate per row
+        key = jnp.where(dead, c, col)
+        pick = jnp.argmin(key, axis=1)  # [B]
+        got = jnp.take_along_axis(dead, pick[:, None], axis=1)[:, 0] == False
+        pid = jnp.take_along_axis(s_ids, pick[:, None], axis=1)[:, 0]
+        pdist = jnp.take_along_axis(s_d, pick[:, None], axis=1)[:, 0]
+        kept_ids = kept_ids.at[:, r].set(jnp.where(got, pid, PAD_ID))
+        kept_d = kept_d.at[:, r].set(jnp.where(got, pdist, PAD_DIST))
+        # occlude candidates dominated by the new kept vector
+        v = jnp.take_along_axis(
+            cand_vecs, pick[:, None, None], axis=1
+        )[:, 0, :]  # [B, d]
         dots = jnp.einsum(
-            "bd,bkd->bk", v, kept_vecs, preferred_element_type=jnp.float32,
+            "bd,bcd->bc", v, cand_vecs, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         if metric in ("ip", "cosine"):
             pair = 1.0 - dots
         else:
-            vn = jnp.take(norms, jnp.where(valid, cid, 0), axis=0)
-            pair = kept_norms + vn[:, None] - 2.0 * dots
-        kept_valid = kept_ids >= 0
-        occluded = jnp.any(kept_valid & (pair < cdist[:, None]), axis=1)
-        accept = valid & ~occluded & (kept_n < max_keep)
-        write = accept[:, None] & (slot_iota == kept_n[:, None])
-        kept_ids = jnp.where(write, cid[:, None], kept_ids)
-        kept_d = jnp.where(write, cdist[:, None], kept_d)
-        kept_vecs = jnp.where(write[:, :, None], v[:, None, :], kept_vecs)
-        if metric == "l2":
-            vn_b = jnp.take(norms, jnp.where(valid, cid, 0), axis=0)
-            kept_norms_new = jnp.where(write, vn_b[:, None], kept_norms)
-        else:
-            kept_norms_new = kept_norms
-        kept_n = kept_n + accept.astype(jnp.int32)
-        return kept_ids, kept_vecs, kept_norms_new, kept_d, kept_n
+            vn = jnp.take_along_axis(cand_norms, pick[:, None], axis=1)
+            pair = cand_norms + vn - 2.0 * dots
+        newly_dead = got[:, None] & (pair < s_d)
+        dead = dead | newly_dead | (col == pick[:, None])
+        return kept_ids, kept_d, dead
 
-    kept_ids, _, _, kept_d, _ = jax.lax.fori_loop(
-        0, scan, step, (kept_ids, kept_vecs, kept_norms, kept_d, kept_n)
+    kept_ids, kept_d, _ = jax.lax.fori_loop(
+        0, max_keep, round_fn, (kept_ids, kept_d, dead)
     )
     return kept_ids, kept_d
+
+
+def _next_bucket(x: int, minimum: int) -> int:
+    b = minimum
+    while b < x:
+        b *= 2
+    return b
+
+
+def occlusion_prune_padded(
+    node_vecs,
+    cand_ids,
+    cand_dists,
+    data,
+    norms,
+    max_keep: int,
+    scan_cap: int | None = None,
+    metric: str = "l2",
+    self_ids=None,
+):
+    """occlusion_prune with batch/width padded to power-of-two buckets.
+
+    Callers like reverse-edge insertion produce wildly varying (B, C)
+    shapes; padding to buckets keeps the number of distinct compiled
+    kernels logarithmic instead of per-call.
+    """
+    b, c = cand_ids.shape
+    bp = _next_bucket(b, 512)
+    cp = _next_bucket(c, 128)
+    if bp != b:
+        node_vecs = jnp.concatenate(
+            [node_vecs,
+             jnp.zeros((bp - b, node_vecs.shape[1]), node_vecs.dtype)],
+            axis=0,
+        )
+        if self_ids is not None:
+            self_ids = jnp.concatenate(
+                [jnp.asarray(self_ids),
+                 jnp.full((bp - b,), -2, jnp.int32)], axis=0
+            )
+    if bp != b or cp != c:
+        ids_p = jnp.full((bp, cp), PAD_ID, jnp.int32)
+        d_p = jnp.full((bp, cp), PAD_DIST, jnp.float32)
+        cand_ids = ids_p.at[:b, :c].set(cand_ids)
+        cand_dists = d_p.at[:b, :c].set(cand_dists)
+    kept_i, kept_d = occlusion_prune(
+        node_vecs, cand_ids, cand_dists, data, norms,
+        max_keep=max_keep, scan_cap=scan_cap, metric=metric,
+        self_ids=self_ids,
+    )
+    return kept_i[:b], kept_d[:b]

@@ -1,0 +1,129 @@
+"""k-means, CNNS pipeline (flat + nsg local), hybrid index."""
+
+import numpy as np
+import pytest
+
+from hnsw_nsg_tpu.ops import brute_force_topk, recall
+from hnsw_nsg_tpu.models.kmeans import kmeans
+from hnsw_nsg_tpu.models.cnns import CNNSIndex, build_cnns
+from hnsw_nsg_tpu.models.hybrid import HybridHNSWNSG
+from hnsw_nsg_tpu.utils.params import (
+    CNNSConfig, HNSWConfig, NSGBuildConfig, NNDescentConfig,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((20, 16)).astype(np.float32) * 4
+    assign = rng.integers(0, 20, 4000)
+    x = (centers[assign] + rng.standard_normal((4000, 16))).astype(np.float32)
+    q = (centers[rng.integers(0, 20, 48)]
+         + rng.standard_normal((48, 16))).astype(np.float32)
+    return x, q
+
+
+class TestKMeans:
+    def test_partitions_clustered_data(self, clustered):
+        x, _ = clustered
+        cents, assign = kmeans(x, 20, iters=15, seed=0, chunk=4000)
+        assign = np.asarray(assign)
+        sizes = np.bincount(assign, minlength=20)
+        assert (sizes > 0).all()
+        # within-cluster distance far below global mean distance
+        cents = np.asarray(cents)
+        within = np.mean(((x - cents[assign]) ** 2).sum(-1))
+        total = np.mean(((x - x.mean(0)) ** 2).sum(-1))
+        assert within < total * 0.5
+
+    def test_k_greater_than_heads(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((50, 4)).astype(np.float32)
+        cents, assign = kmeans(x, 8, iters=5, chunk=50)
+        assert cents.shape == (8, 4)
+        assert np.asarray(assign).max() < 8
+
+
+class TestCNNSFlat:
+    def test_recall_full_probe(self, clustered):
+        """Probing every cluster with flat local search == brute force."""
+        x, q = clustered
+        idx = build_cnns(x, CNNSConfig(n_clusters=16, m=3, kmeans_iters=10))
+        d, i = idx.search(q, k=10, nprobe=16)
+        _, gt = brute_force_topk(q, x, 10)
+        assert recall(np.asarray(i), np.asarray(gt)) > 0.999
+
+    def test_recall_partial_probe(self, clustered):
+        x, q = clustered
+        idx = build_cnns(x, CNNSConfig(n_clusters=16, m=3, kmeans_iters=10))
+        d, i = idx.search(q, k=10, nprobe=4)
+        _, gt = brute_force_topk(q, x, 10)
+        r = recall(np.asarray(i), np.asarray(gt))
+        assert r > 0.85, f"nprobe=4 recall {r}"
+
+    def test_save_load(self, clustered, tmp_path):
+        x, q = clustered
+        idx = build_cnns(x, CNNSConfig(n_clusters=8, m=2, kmeans_iters=5))
+        p = str(tmp_path / "cnns.npz")
+        idx.save(p)
+        idx2 = CNNSIndex.load(p)
+        d1, i1 = idx.search(q[:8], k=5, nprobe=4)
+        d2, i2 = idx2.search(q[:8], k=5, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+class TestCNNSNsg:
+    def test_nsg_local_recall(self, clustered):
+        x, q = clustered
+        cfg = CNNSConfig(
+            n_clusters=8, m=3, kmeans_iters=10,
+            nndescent=NNDescentConfig(K=16),
+            nsg=NSGBuildConfig(L=20, R=12, C=80),
+        )
+        idx = build_cnns(x, cfg, local_index="nsg")
+        d, i = idx.search(q, k=10, nprobe=4, l_search=64)
+        _, gt = brute_force_topk(q, x, 10)
+        r = recall(np.asarray(i), np.asarray(gt))
+        assert r > 0.8, f"nsg-local recall {r}"
+
+
+class TestHybrid:
+    def test_build_and_search(self, clustered):
+        x, q = clustered
+        hy = HybridHNSWNSG(
+            16, 4000, HNSWConfig(M=12, ef_construction=60),
+            NSGBuildConfig(L=20, R=14, C=100),
+        )
+        hy.add_points(x, batch_size=2000)
+        hy.build_nsg_layer()
+        _, gt = brute_force_topk(q, x, 10)
+        labels64, _ = hy.search_knn(q, k=10, ef=64)
+        labels256, _ = hy.search_knn(q, k=10, ef=256)
+        r64 = recall(labels64, np.asarray(gt))
+        r256 = recall(labels256, np.asarray(gt))
+        # ef-sweep shape: locality-biased init costs recall at small ef on
+        # clustered data, converges high (reference behaves the same way)
+        assert r64 > 0.6, f"hybrid recall@ef64 {r64}"
+        assert r256 > 0.95, f"hybrid recall@ef256 {r256}"
+
+    def test_search_before_build_raises(self, clustered):
+        x, q = clustered
+        hy = HybridHNSWNSG(16, 100)
+        hy.add_points(x[:100])
+        with pytest.raises(RuntimeError, match="build_nsg_layer"):
+            hy.search_knn(q[:2], k=1)
+
+    def test_save_load(self, clustered, tmp_path):
+        x, q = clustered
+        hy = HybridHNSWNSG(
+            16, 1000, HNSWConfig(M=8, ef_construction=40),
+            NSGBuildConfig(L=16, R=10, C=60),
+        )
+        hy.add_points(x[:1000], batch_size=1000)
+        hy.build_nsg_layer()
+        prefix = str(tmp_path / "hy")
+        hy.save(prefix)
+        hy2 = HybridHNSWNSG.load(prefix)
+        l1, _ = hy.search_knn(q[:8], k=5, ef=32)
+        l2, _ = hy2.search_knn(q[:8], k=5, ef=32)
+        np.testing.assert_array_equal(l1, l2)

@@ -1,0 +1,146 @@
+"""HNSW engine: recall vs brute force, CRUD, deletes, resize, persistence.
+
+Mirrors the reference's test spine (SURVEY.md §4): BF-oracle recall
+threshold (bindings_test_recall.py), label/persistence round-trips,
+delete semantics, integrity checks.
+"""
+
+import numpy as np
+import pytest
+
+from hnsw_nsg_tpu.ops import brute_force_topk, recall
+from hnsw_nsg_tpu.models.hnsw import HNSWIndex
+from hnsw_nsg_tpu.utils.params import HNSWConfig
+
+
+@pytest.fixture(scope="module")
+def built():
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((5000, 32)).astype(np.float32)
+    q = rng.standard_normal((64, 32)).astype(np.float32)
+    idx = HNSWIndex(32, 6000, HNSWConfig(M=16, ef_construction=100))
+    idx.add_items(x, batch_size=1024)
+    return x, q, idx
+
+
+class TestBuildSearch:
+    def test_recall_threshold(self, built):
+        """The reference CI gate (bindings_test_recall.py:14): >= 0.95."""
+        x, q, idx = built
+        labels, d = idx.knn_query(q, k=10, ef=100)
+        _, gt = brute_force_topk(q, x, 10)
+        r = recall(labels, np.asarray(gt))
+        assert r >= 0.95, f"recall {r}"
+
+    def test_exact_distances(self, built):
+        x, q, idx = built
+        labels, d = idx.knn_query(q[:4], k=3, ef=50)
+        for qi in range(4):
+            true = ((q[qi] - x[labels[qi, 0]]) ** 2).sum()
+            np.testing.assert_allclose(d[qi, 0], true, rtol=1e-3)
+
+    def test_integrity(self, built):
+        _, _, idx = built
+        assert idx.check_integrity()
+
+    def test_ef_sweep_monotone(self, built):
+        x, q, idx = built
+        _, gt = brute_force_topk(q, x, 10)
+        recalls = []
+        for ef in (10, 40, 160):
+            labels, _ = idx.knn_query(q, k=10, ef=ef)
+            recalls.append(recall(labels, np.asarray(gt)))
+        assert recalls[-1] >= recalls[0]
+        assert recalls[-1] >= 0.95
+
+    def test_levels_geometric(self, built):
+        _, _, idx = built
+        lv = idx.levels[: idx.n]
+        # ~1/M of nodes above level 0
+        frac = (lv >= 1).mean()
+        assert 0.02 < frac < 0.15
+
+
+class TestCRUD:
+    def test_labels_and_get_items(self, rng):
+        x = rng.standard_normal((100, 8)).astype(np.float32)
+        idx = HNSWIndex(8, 200)
+        labels = np.arange(1000, 1100)
+        idx.add_items(x, labels)
+        got = idx.get_items([1005, 1050])
+        np.testing.assert_allclose(got, x[[5, 50]], rtol=1e-6)
+        assert set(idx.get_ids_list()) == set(labels.tolist())
+
+    def test_query_returns_labels(self, rng):
+        x = rng.standard_normal((200, 8)).astype(np.float32)
+        idx = HNSWIndex(8, 300)
+        idx.add_items(x, np.arange(500, 700))
+        lab, _ = idx.knn_query(x[:5], k=1, ef=20)
+        assert lab[:, 0].tolist() == [500, 501, 502, 503, 504]
+
+    def test_mark_deleted_excluded(self, rng):
+        x = rng.standard_normal((300, 8)).astype(np.float32)
+        idx = HNSWIndex(8, 400)
+        idx.add_items(x)
+        lab, _ = idx.knn_query(x[7], k=1, ef=30)
+        assert lab[0, 0] == 7
+        idx.mark_deleted(7)
+        lab, _ = idx.knn_query(x[7], k=3, ef=30)
+        assert 7 not in lab[0]
+        idx.unmark_deleted(7)
+        lab, _ = idx.knn_query(x[7], k=1, ef=30)
+        assert lab[0, 0] == 7
+
+    def test_filter_mask(self, rng):
+        x = rng.standard_normal((200, 8)).astype(np.float32)
+        idx = HNSWIndex(8, 300)
+        idx.add_items(x)
+        mask = np.zeros(idx.cap, bool)
+        mask[:100] = True  # only first hundred allowed
+        lab, _ = idx.knn_query(x[150], k=5, ef=50, filter_ids=mask)
+        assert (lab[0] < 100).all()
+
+    def test_resize(self, rng):
+        x = rng.standard_normal((50, 8)).astype(np.float32)
+        idx = HNSWIndex(8, 50)
+        idx.add_items(x)
+        with pytest.raises(RuntimeError):
+            idx.add_items(rng.standard_normal((10, 8)).astype(np.float32))
+        idx.resize_index(100)
+        idx.add_items(
+            rng.standard_normal((10, 8)).astype(np.float32),
+            np.arange(50, 60),
+        )
+        assert idx.n == 60
+        lab, _ = idx.knn_query(x[3], k=1, ef=20)
+        assert lab[0, 0] == 3
+
+    def test_capacity_error_message(self, rng):
+        idx = HNSWIndex(8, 10)
+        with pytest.raises(RuntimeError, match="exceeds the specified limit"):
+            idx.add_items(rng.standard_normal((11, 8)).astype(np.float32))
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, built, tmp_path):
+        x, q, idx = built
+        p = str(tmp_path / "hnsw.npz")
+        idx.save(p)
+        idx2 = HNSWIndex.load(p)
+        l1, d1 = idx.knn_query(q[:8], k=5, ef=50)
+        l2, d2 = idx2.knn_query(q[:8], k=5, ef=50)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+    def test_load_with_bigger_capacity_and_append(self, tmp_path, rng):
+        x = rng.standard_normal((100, 8)).astype(np.float32)
+        idx = HNSWIndex(8, 100)
+        idx.add_items(x)
+        p = str(tmp_path / "h.npz")
+        idx.save(p)
+        idx2 = HNSWIndex.load(p, max_elements=200)
+        idx2.add_items(
+            rng.standard_normal((50, 8)).astype(np.float32),
+            np.arange(100, 150),
+        )
+        assert idx2.n == 150

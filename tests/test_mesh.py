@@ -1,0 +1,79 @@
+"""Sharded search / build on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hnsw_nsg_tpu.ops import brute_force_topk, recall, knn_graph_exact
+from hnsw_nsg_tpu.parallel.mesh import (
+    ShardedFlatIndex,
+    ShardedGraphIndex,
+    make_mesh,
+    sharded_knn_build_step,
+)
+from hnsw_nsg_tpu.models.nsg import build_nsg
+from hnsw_nsg_tpu.utils.params import NSGBuildConfig
+from jax.sharding import PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_flat_exact(mesh, rng):
+    x = rng.standard_normal((2000, 16)).astype(np.float32)
+    q = rng.standard_normal((32, 16)).astype(np.float32)
+    idx = ShardedFlatIndex.build(mesh, x)
+    d, i = idx.search(q, 10)
+    _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 10)
+    assert recall(np.asarray(i), np.asarray(gt)) > 0.999
+
+
+def test_sharded_flat_unaligned_n(mesh, rng):
+    x = rng.standard_normal((1003, 8)).astype(np.float32)
+    q = rng.standard_normal((8, 8)).astype(np.float32)
+    idx = ShardedFlatIndex.build(mesh, x)
+    d, i = idx.search(q, 5)
+    assert np.asarray(i).max() < 1003
+    _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 5)
+    assert recall(np.asarray(i), np.asarray(gt)) > 0.999
+
+
+def test_sharded_graph_search(mesh, rng):
+    """8 independent per-shard NSGs, lockstep search, allgather merge."""
+    shard_n, d = 512, 16
+    datas, adjs, eps = [], [], []
+    allx = []
+    for s in range(8):
+        xs = rng.standard_normal((shard_n, d)).astype(np.float32)
+        knn = knn_graph_exact(xs, 12, query_block=512)
+        nsg = build_nsg(xs, knn, NSGBuildConfig(L=16, R=10, C=60))
+        datas.append(xs)
+        adjs.append(np.asarray(nsg.adj))
+        eps.append(nsg.ep)
+        allx.append(xs)
+    idx = ShardedGraphIndex.build_from_shards(mesh, datas, adjs, eps)
+    x = np.concatenate(allx)
+    q = rng.standard_normal((16, d)).astype(np.float32)
+    dd, ii = idx.search(q, k=10, l_search=48)
+    _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 10)
+    r = recall(np.asarray(ii), np.asarray(gt))
+    assert r > 0.85, f"sharded graph recall {r}"
+    # distances are globally exact
+    ii0 = np.asarray(ii)[0, 0]
+    true = ((q[0] - x[ii0]) ** 2).sum()
+    np.testing.assert_allclose(np.asarray(dd)[0, 0], true, rtol=1e-3)
+
+
+def test_sharded_knn_build(mesh, rng):
+    x = rng.standard_normal((1024, 12)).astype(np.float32)
+    xs = jax.device_put(
+        jnp.asarray(x),
+        jax.sharding.NamedSharding(mesh, P("shard", None)),
+    )
+    adj = sharded_knn_build_step(mesh, xs, 8)
+    gt = np.asarray(knn_graph_exact(x, 8, query_block=1024))
+    assert recall(np.asarray(adj), gt) > 0.999
