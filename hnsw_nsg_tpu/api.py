@@ -178,6 +178,91 @@ class Index:
         self._index = HNSWIndex.load(path, max_elements or None)
         self._replace_deleted = allow_replace_deleted
 
+    # -- pickle (bindings.cpp getAnnData/setAnnData, :351-610, 978-987) ----
+
+    def __getstate__(self):
+        state = {"space": self.space, "dim": self.dim, "ef": self.ef,
+                 "_replace_deleted": getattr(self, "_replace_deleted", False),
+                 "index": None}
+        if self._index is not None:
+            idx = self._index
+            state["index"] = {
+                "data": np.asarray(idx.data[: idx.n]),
+                "adj0": np.asarray(idx.adj0[: idx.n]),
+                "adj_up": [np.asarray(a[: idx.n]) for a in idx.adj_up],
+                "levels": idx.levels[: idx.n].copy(),
+                "labels": idx.labels[: idx.n].copy(),
+                "deleted": idx.deleted[: idx.n].copy(),
+                "meta": (idx.n, idx.cap, idx.max_level, idx.ep,
+                         idx.cfg.M, idx.cfg.ef_construction,
+                         idx.num_deleted, idx.metric),
+            }
+        return state
+
+    def __setstate__(self, state):
+        import jax.numpy as jnp
+        from .ops.distance import PAD_ID, squared_norms
+
+        self.space = state["space"]
+        self.dim = state["dim"]
+        self.ef = state["ef"]
+        self._replace_deleted = state["_replace_deleted"]
+        self._index = None
+        s = state["index"]
+        if s is None:
+            return
+        n, cap, max_level, ep, m, efc, ndel, metric = s["meta"]
+        idx = HNSWIndex(self.dim, cap, HNSWConfig(M=m, ef_construction=efc),
+                        metric)
+        idx.n, idx.max_level, idx.ep, idx.num_deleted = n, max_level, ep, ndel
+        idx.data = idx.data.at[:n].set(jnp.asarray(s["data"]))
+        idx.norms = idx.norms.at[:n].set(
+            squared_norms(jnp.asarray(s["data"]))
+        )
+        idx.adj0 = idx.adj0.at[:n].set(jnp.asarray(s["adj0"]))
+        idx.adj_up = []
+        for a in s["adj_up"]:
+            arr = jnp.full((cap, m), PAD_ID, jnp.int32)
+            idx.adj_up.append(arr.at[:n].set(jnp.asarray(a)))
+        idx.levels[:n] = s["levels"]
+        idx.labels[:n] = s["labels"]
+        idx.deleted[:n] = s["deleted"]
+        idx.label_to_id = {
+            int(l): i for i, l in enumerate(s["labels"]) if l >= 0
+        }
+        self._index = idx
+
+
+class LazyIndex(Index):
+    """hnswlib/python_bindings/LazyIndex.py parity: init_index is deferred
+    until the first add_items; init parameters may be passed up front."""
+
+    def __init__(self, space: str, dim: int, max_elements: int = 1024,
+                 **kwargs):
+        super().__init__(space, dim)
+        self.init_max_elements = max_elements
+        self.init_kwargs = kwargs
+
+    def init_index(self, max_elements: int = 0, **kwargs):
+        if max_elements:
+            self.init_max_elements = max_elements
+        if kwargs:
+            self.init_kwargs = kwargs
+        super().init_index(self.init_max_elements, **self.init_kwargs)
+
+    def add_items(self, data, ids=None, **kwargs):
+        if self._index is None:
+            self.init_index()
+        n_needed = self._index.n + np.atleast_2d(np.asarray(data)).shape[0]
+        if n_needed > self._index.cap:
+            self._index.resize_index(max(n_needed, 2 * self._index.cap))
+        super().add_items(data, ids, **kwargs)
+
+    def knn_query(self, data, k: int = 1, **kwargs):
+        if self._index is None:
+            raise RuntimeError("index is empty")
+        return super().knn_query(data, k, **kwargs)
+
 
 class BFIndex:
     """Drop-in analogue of ``hnswlib.BFIndex`` (bindings.cpp:725-):

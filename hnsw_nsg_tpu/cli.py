@@ -1,0 +1,323 @@
+"""Command-line drivers mirroring the reference's executables.
+
+Reference CLIs (SURVEY.md §1 L5):
+  * CNNS build stage 1 ``cluster_IVF_nndescent <data> <n_clusters> <m> <K>
+    <L> <iter> <S> <R> <prefix>`` (CNNS/tests/cluster_IVF_nndescent.cpp:44)
+    -> ``build-clusters``; writes the same artifact directory layout
+    {centroids.fvecs, cluster_data/, nndescent/, mapping/} in the same byte
+    formats.
+  * CNNS build stage 2 ``nndescent_nsg`` -> ``build-nsg`` (nsg_graph/*.nsg).
+  * ``cluster_hnsw_nsg_search`` and ablations -> ``search-clusters``.
+  * hnswlib sift_1m workflow -> ``build-hnsw`` / ``search-hnsw`` (ef-sweep
+    recall table, hnswlib/tests/cpp/sift_1m.cpp:199-226).
+  * hnsw_nsg test driver -> ``build-hybrid`` / ``search-hybrid``.
+  * format converters (CNNS/apps/*.cpp) -> ``convert``; ``calculate-recall``.
+
+Usage: python -m hnsw_nsg_tpu.cli <command> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from .utils import io
+from .utils.cache import enable_persistent_cache
+from .utils.params import (
+    CNNSConfig,
+    HNSWConfig,
+    NNDescentConfig,
+    NSGBuildConfig,
+)
+
+
+def _load_vectors(path: str) -> np.ndarray:
+    if path.endswith(".fvecs"):
+        return io.read_fvecs(path)
+    if path.endswith(".bvecs"):
+        return io.read_bvecs(path).astype(np.float32)
+    if path.endswith(".bin"):
+        return io.read_bin(path)
+    if path.endswith(".npy"):
+        return np.load(path)
+    raise ValueError(f"unknown vector format: {path}")
+
+
+def cmd_build_clusters(args):
+    from .models.kmeans import kmeans
+    from .models.nndescent import nn_descent
+
+    data = _load_vectors(args.data)
+    os.makedirs(args.prefix, exist_ok=True)
+    for sub in ("cluster_data", "nndescent", "mapping"):
+        os.makedirs(os.path.join(args.prefix, sub), exist_ok=True)
+
+    t0 = time.time()
+    centroids, assign = kmeans(data, args.n_clusters, iters=args.kmeans_iters)
+    centroids, assign = np.asarray(centroids), np.asarray(assign)
+    print(f"kmeans: {time.time() - t0:.1f}s")
+
+    rng = np.random.default_rng(0)
+    reps = np.zeros((args.n_clusters, args.m + 1, data.shape[1]), np.float32)
+    reps[:, 0] = centroids
+    cfg = NNDescentConfig(K=args.K, L=args.L, iters=args.iter,
+                          S=args.S, R=args.R)
+    for ci in range(args.n_clusters):
+        members = np.nonzero(assign == ci)[0]
+        if len(members) == 0:
+            continue
+        reps[ci, 1:] = data[rng.choice(members, args.m)]
+        io.write_mapping(
+            os.path.join(args.prefix, "mapping", f"mapping_{ci}"),
+            members.astype(np.int64),
+        )
+        io.write_fvecs(
+            os.path.join(args.prefix, "cluster_data", f"cluster_{ci}.fvecs"),
+            data[members],
+        )
+        t0 = time.time()
+        kcfg = NNDescentConfig(
+            K=min(cfg.K, len(members) - 1) if len(members) > 1 else 1,
+            L=cfg.L, iters=cfg.iters, S=cfg.S, R=cfg.R,
+        )
+        if len(members) > 1:
+            adj = nn_descent(data[members], kcfg)
+            io.write_knn_graph(
+                os.path.join(
+                    args.prefix, "nndescent", f"nndescent_{ci}.graph"
+                ),
+                adj,
+            )
+        print(f"cluster {ci}: {len(members)} pts "
+              f"({time.time() - t0:.1f}s)")
+    io.write_centroids(os.path.join(args.prefix, "centroids.fvecs"), reps)
+    print(f"wrote artifacts under {args.prefix}")
+
+
+def cmd_build_nsg(args):
+    from .models.nsg import build_nsg
+
+    os.makedirs(os.path.join(args.prefix, "nsg_graph"), exist_ok=True)
+    cfg = NSGBuildConfig(L=args.L, R=args.R, C=args.C)
+    cdir = os.path.join(args.prefix, "cluster_data")
+    for fname in sorted(os.listdir(cdir)):
+        if not fname.endswith(".fvecs"):
+            continue
+        cid = fname[len("cluster_"):-len(".fvecs")]
+        data = io.read_fvecs(os.path.join(cdir, fname))
+        gpath = os.path.join(args.prefix, "nndescent",
+                             f"nndescent_{cid}.graph")
+        if not os.path.exists(gpath):
+            continue
+        knn = io.read_knn_graph(gpath)
+        t0 = time.time()
+        nsg = build_nsg(data, knn, cfg)
+        nsg.save_reference_format(
+            os.path.join(args.prefix, "nsg_graph", f"nsg_{cid}.nsg")
+        )
+        print(f"cluster {cid}: NSG over {len(data)} pts "
+              f"({time.time() - t0:.1f}s)")
+
+
+def cmd_search_clusters(args):
+    """Load the artifact directory and run the routed multi-cluster search
+    (cluster_hnsw_nsg_search.cpp flow), reporting recall + QPS."""
+    import jax.numpy as jnp
+    from .models.cnns import CNNSIndex
+    from .ops.bruteforce import recall as recall_fn
+    from .ops.distance import PAD_ID
+    from .models.nsg import NSGIndex
+
+    queries = _load_vectors(args.queries)
+    gt = io.read_gt(args.gt) if args.gt else None
+    reps = io.read_centroids(os.path.join(args.prefix, "centroids.fvecs"))
+    c = reps.shape[0]
+
+    datas, mappings, nsgs = [], [], []
+    for ci in range(c):
+        datas.append(io.read_fvecs(
+            os.path.join(args.prefix, "cluster_data", f"cluster_{ci}.fvecs")
+        ))
+        mappings.append(io.read_mapping(
+            os.path.join(args.prefix, "mapping", f"mapping_{ci}")
+        ))
+        npath = os.path.join(args.prefix, "nsg_graph", f"nsg_{ci}.nsg")
+        nsgs.append(io.read_nsg(npath) if os.path.exists(npath) else None)
+
+    maxc = ((max(len(d) for d in datas) + 7) // 8) * 8
+    dim = datas[0].shape[1]
+    data_c = np.zeros((c, maxc, dim), np.float32)
+    ids_c = np.full((c, maxc), PAD_ID, np.int32)
+    for ci in range(c):
+        data_c[ci, : len(datas[ci])] = datas[ci]
+        ids_c[ci, : len(mappings[ci])] = mappings[ci]
+
+    use_nsg = args.local == "nsg" and all(g is not None for g in nsgs)
+    flat_adj = eps_flat = None
+    if use_nsg:
+        rmax = max(g[0].shape[1] for g in nsgs)
+        flat_adj_np = np.full((c * maxc, rmax), PAD_ID, np.int32)
+        eps_flat = np.zeros(c, np.int64)
+        for ci, (adj, ep, _) in enumerate(nsgs):
+            remap = np.where(adj >= 0, adj + ci * maxc, PAD_ID)
+            flat_adj_np[ci * maxc : ci * maxc + len(adj), : adj.shape[1]] = remap
+            eps_flat[ci] = ep + ci * maxc
+        flat_adj = jnp.asarray(flat_adj_np)
+
+    idx = CNNSIndex(
+        reps=jnp.asarray(reps), data_c=jnp.asarray(data_c),
+        ids_c=jnp.asarray(ids_c),
+        sizes=np.array([len(d) for d in datas]),
+        local_index="nsg" if use_nsg else "flat",
+        flat_adj=flat_adj, eps_flat=eps_flat,
+    )
+    idx.search(queries[:8], k=args.k, nprobe=args.nprobe,
+               l_search=args.search_L)  # warm
+    t0 = time.time()
+    d, i = idx.search(queries, k=args.k, nprobe=args.nprobe,
+                      l_search=args.search_L)
+    i = np.asarray(i)
+    dt = time.time() - t0
+    out = {"qps": len(queries) / dt, "k": args.k, "nprobe": args.nprobe}
+    if gt is not None:
+        out["recall"] = recall_fn(i, gt[:, : args.k])
+    print(json.dumps(out))
+
+
+def cmd_build_hnsw(args):
+    from .models.hnsw import HNSWIndex
+
+    data = _load_vectors(args.data)
+    idx = HNSWIndex(
+        data.shape[1], len(data),
+        HNSWConfig(M=args.M, ef_construction=args.efc),
+    )
+    t0 = time.time()
+    idx.add_items(data, batch_size=args.batch)
+    print(f"build: {time.time() - t0:.1f}s "
+          f"({len(data) / (time.time() - t0):.0f} pts/s)")
+    idx.save(args.out)
+
+
+def cmd_search_hnsw(args):
+    """ef-sweep recall table (sift_1m.cpp:199-226 shape)."""
+    from .models.hnsw import HNSWIndex
+    from .ops.bruteforce import recall as recall_fn
+
+    idx = HNSWIndex.load(args.index)
+    queries = _load_vectors(args.queries)
+    gt = io.read_gt(args.gt) if args.gt else None
+    print("ef\trecall@k\tus/query")
+    for ef in [int(e) for e in args.efs.split(",")]:
+        idx.knn_query(queries[:8], k=args.k, ef=ef)  # warm
+        t0 = time.time()
+        labels, _ = idx.knn_query(queries, k=args.k, ef=ef)
+        dt = time.time() - t0
+        r = recall_fn(labels, gt[:, : args.k]) if gt is not None else -1
+        print(f"{ef}\t{r:.4f}\t{dt / len(queries) * 1e6:.1f}")
+
+
+def cmd_convert(args):
+    src, dst = args.src, args.dst
+    x = _load_vectors(src) if not src.endswith(".tsv") else io.read_tsv(src)
+    if dst.endswith(".fvecs"):
+        io.write_fvecs(dst, x.astype(np.float32))
+    elif dst.endswith(".bvecs"):
+        io.write_bvecs(dst, np.clip(x, 0, 255).astype(np.uint8))
+    elif dst.endswith(".bin"):
+        if args.int8:
+            scale = np.abs(x).max() / 127.0 if np.abs(x).max() else 1.0
+            io.write_bin(dst, (x / scale).astype(np.int8))
+            print(f"scale={scale}")
+        else:
+            io.write_bin(dst, x.astype(np.float32))
+    elif dst.endswith(".tsv"):
+        io.write_tsv(dst, x)
+    else:
+        raise ValueError(f"unknown target format {dst}")
+    print(f"{src} -> {dst} ({x.shape[0]} x {x.shape[1]})")
+
+
+def cmd_calculate_recall(args):
+    from .ops.bruteforce import recall as recall_fn
+
+    res = io.read_ivecs(args.result)
+    gt = io.read_gt(args.gt)
+    print(json.dumps({"recall": recall_fn(res[:, : args.k],
+                                          gt[:, : args.k])}))
+
+
+def main(argv=None):
+    enable_persistent_cache()
+    p = argparse.ArgumentParser(prog="hnsw_nsg_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("build-clusters")
+    s.add_argument("data")
+    s.add_argument("n_clusters", type=int)
+    s.add_argument("m", type=int)
+    s.add_argument("K", type=int)
+    s.add_argument("L", type=int)
+    s.add_argument("iter", type=int)
+    s.add_argument("S", type=int)
+    s.add_argument("R", type=int)
+    s.add_argument("prefix")
+    s.add_argument("--kmeans-iters", type=int, default=15)
+    s.set_defaults(fn=cmd_build_clusters)
+
+    s = sub.add_parser("build-nsg")
+    s.add_argument("prefix")
+    s.add_argument("L", type=int)
+    s.add_argument("R", type=int)
+    s.add_argument("C", type=int)
+    s.set_defaults(fn=cmd_build_nsg)
+
+    s = sub.add_parser("search-clusters")
+    s.add_argument("prefix")
+    s.add_argument("queries")
+    s.add_argument("--gt")
+    s.add_argument("--k", type=int, default=100)
+    s.add_argument("--nprobe", type=int, default=8)
+    s.add_argument("--search-L", type=int, default=100, dest="search_L")
+    s.add_argument("--local", choices=("flat", "nsg"), default="nsg")
+    s.set_defaults(fn=cmd_search_clusters)
+
+    s = sub.add_parser("build-hnsw")
+    s.add_argument("data")
+    s.add_argument("out")
+    s.add_argument("--M", type=int, default=16)
+    s.add_argument("--efc", type=int, default=200)
+    s.add_argument("--batch", type=int, default=4096)
+    s.set_defaults(fn=cmd_build_hnsw)
+
+    s = sub.add_parser("search-hnsw")
+    s.add_argument("index")
+    s.add_argument("queries")
+    s.add_argument("--gt")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--efs", default="10,20,40,80,160,320")
+    s.set_defaults(fn=cmd_search_hnsw)
+
+    s = sub.add_parser("convert")
+    s.add_argument("src")
+    s.add_argument("dst")
+    s.add_argument("--int8", action="store_true")
+    s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("calculate-recall")
+    s.add_argument("result")
+    s.add_argument("gt")
+    s.add_argument("--k", type=int, default=100)
+    s.set_defaults(fn=cmd_calculate_recall)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

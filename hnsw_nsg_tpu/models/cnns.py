@@ -52,11 +52,15 @@ from .rptree import knn_graph_rp
 from ..ops.bruteforce import knn_graph_exact
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
-def _route_clusters(q, reps, nprobe: int, metric: str):
-    """Rank clusters by representative hit count (reference:
-    cluster_hnsw_nsg_search.cpp:146-173), ties broken by best rep rank.
-    Returns visit list [Q, nprobe] of cluster ids (PAD_ID padded)."""
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "metric", "rank_by")
+)
+def _route_clusters(q, reps, nprobe: int, metric: str, rank_by="hits"):
+    """Rank clusters for probing. rank_by="hits": representative hit count
+    (reference default, cluster_hnsw_nsg_search.cpp:146-173), ties broken by
+    best rep rank; rank_by="min_dist": closest-representative order (the
+    sort_by_min_dist ablation, experiment_feature/sort_by_min_dist.cpp:
+    280-287). Returns visit list [Q, nprobe] of cluster ids (PAD padded)."""
     c, m1, d = reps.shape
     rep_flat = reps.reshape(c * m1, d)
     rd = pairwise_dists(q, rep_flat, metric, exact=False)
@@ -70,9 +74,12 @@ def _route_clusters(q, reps, nprobe: int, metric: str):
         eq & jnp.tril(jnp.ones((n_rep, n_rep), jnp.bool_), -1)[None],
         axis=2,
     )
-    # score: hits desc, then earlier rep rank
+    # score: hits desc then earlier rep rank; or pure rep-rank order
     rank = jax.lax.broadcasted_iota(jnp.int32, cid.shape, 1)
-    score = counts * n_rep - rank
+    if rank_by == "min_dist":
+        score = n_rep - rank
+    else:
+        score = counts * n_rep - rank
     score = jnp.where(first, score, -1)
     _, order = jax.lax.top_k(score, min(nprobe, n_rep))
     visit = jnp.take_along_axis(cid, order, axis=1)
@@ -144,8 +151,8 @@ class CNNSIndex:
     def maxc(self) -> int:
         return self.data_c.shape[1]
 
-    def _route(self, q: jax.Array, nprobe: int):
-        return _route_clusters(q, self.reps, nprobe, self.metric)
+    def _route(self, q: jax.Array, nprobe: int, rank_by: str = "hits"):
+        return _route_clusters(q, self.reps, nprobe, self.metric, rank_by)
 
     def search(
         self,
@@ -154,13 +161,14 @@ class CNNSIndex:
         nprobe: int | None = None,
         l_search: int = 100,
         expand: int = 1,
+        rank_by: str = "hits",
     ):
         """Returns (dists [Q, k] exact, global ids [Q, k])."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
         nprobe = nprobe or max(1, self.n_clusters // 8)
-        visit = self._route(q, nprobe)  # [Q, V]
+        visit = self._route(q, nprobe, rank_by)  # [Q, V]
 
         if self.local_index == "flat":
             return self._search_flat(q, visit, k)

@@ -114,9 +114,17 @@ class HNSWIndex:
                 jnp.full((self.cap, self.cfg.M), PAD_ID, jnp.int32)
             )
 
-    def add_items(self, vecs, labels=None, batch_size: int = 4096):
+    def add_items(self, vecs, labels=None, batch_size: int = 4096,
+                  repair: bool = True):
         """Batched insertion (the reference's parallel addItems,
-        bindings.cpp:251-300, as bulk-synchronous rounds)."""
+        bindings.cpp:251-300, as bulk-synchronous rounds).
+
+        ``repair``: run level-0 connectivity repair afterwards. The
+        reference's sequential insert keeps the graph connected implicitly
+        (an unreachable cluster's first points can only link to reachable
+        nodes); bulk batches lose that mechanism on strongly clustered
+        data, so we restore the invariant explicitly, NSG-tree_grow style
+        (CNNS/src/nsg/index_nsg.cpp:748-764)."""
         vecs = np.asarray(vecs, np.float32)
         if vecs.ndim == 1:
             vecs = vecs[None]
@@ -128,28 +136,108 @@ class HNSWIndex:
             raise RuntimeError(
                 "The number of elements exceeds the specified limit"
             )  # hnswalg.h:1177-1179 wording
-        for s in range(0, b_total, batch_size):
-            self._insert_batch(
-                vecs[s : s + batch_size], labels[s : s + batch_size]
-            )
+        pad_to = min(batch_size, max(self.cap - self.n, 1))
+        s = 0
+        if self.n == 0 and b_total > 64:
+            # cold start: exponentially growing sub-batches. A sequential
+            # insert's early points can only link to already-inserted
+            # (possibly far) nodes, which is what stitches well-separated
+            # clusters together; a single huge first batch would give every
+            # point same-cluster candidates only. Doubling keeps the cost
+            # O(batch) while reproducing that structure. All sub-batches are
+            # padded to the same bucket so only one kernel set compiles.
+            sub = 32
+            while s < b_total and sub < batch_size:
+                e = min(s + sub, b_total)
+                self._insert_batch(vecs[s:e], labels[s:e], pad_to=pad_to)
+                s = e
+                sub *= 2
+        for s in range(s, b_total, batch_size):
+            e = min(s + batch_size, b_total)
+            self._insert_batch(vecs[s:e], labels[s:e], pad_to=pad_to)
+        if repair:
+            self.repair_connectivity()
 
-    def _insert_batch(self, x: np.ndarray, labels: np.ndarray) -> None:
+    def repair_connectivity(self, max_rounds: int = 32) -> int:
+        """Make every node reachable from the enterpoint at level 0.
+
+        Host BFS over the level-0 adjacency; each round batch-searches up
+        to 256 unreachable component representatives from the enterpoint
+        and links them from their nearest reachable candidate (findroot,
+        index_nsg.cpp:712-747). Returns the number of edges added."""
+        if self.n <= 1:
+            return 0
+        adj0 = np.array(self.adj0[: self.n])
+        cap0 = 2 * self.cfg.M
+
+        def bfs(seeds, visited):
+            frontier = np.asarray(seeds, dtype=np.int64)
+            visited[frontier] = True
+            while len(frontier):
+                nxt = adj0[frontier].reshape(-1)
+                nxt = nxt[nxt >= 0]
+                nxt = np.unique(nxt)
+                nxt = nxt[~visited[nxt]]
+                visited[nxt] = True
+                frontier = nxt
+            return visited
+
+        visited = bfs([self.ep], np.zeros(self.n, bool))
+        added = 0
+        for _ in range(max_rounds):
+            if visited.all():
+                break
+            reps = np.nonzero(~visited)[0][:256]
+            res = beam_search(
+                jnp.take(self.data, jnp.asarray(reps), axis=0),
+                self.data, self.norms, jnp.asarray(adj0),
+                jnp.full((len(reps), 1), self.ep, jnp.int32),
+                width=self.cfg.ef_construction, metric=self.metric,
+                max_hops=256, expand=self.cfg.insert_expand,
+            )
+            ids = np.asarray(res.ids)
+            for b, root in enumerate(reps):
+                if visited[root]:
+                    continue
+                cand = ids[b]
+                cand = cand[cand >= 0]
+                cand = cand[visited[cand]] if len(cand) else cand
+                attach = int(cand[0]) if len(cand) else int(self.ep)
+                deg = int((adj0[attach] >= 0).sum())
+                slot = deg if deg < cap0 else cap0 - 1
+                adj0[attach, slot] = root
+                added += 1
+                visited = bfs([root], visited)
+        self.adj0 = self.adj0.at[: self.n].set(jnp.asarray(adj0))
+        return added
+
+    def _insert_batch(self, x: np.ndarray, labels: np.ndarray,
+                      pad_to: int | None = None) -> None:
         cfg = self.cfg
-        b = x.shape[0]
+        b_real = x.shape[0]
+        # pad the batch to a fixed bucket so every insert compiles the same
+        # kernels regardless of (sub-)batch size; dummy rows get level=-1 and
+        # are excluded from every write
+        b = max(pad_to or b_real, b_real)
+        if b > b_real:
+            x = np.concatenate(
+                [x, np.broadcast_to(x[:1], (b - b_real, x.shape[1]))]
+            )
         ids_np = np.arange(self.n, self.n + b, dtype=np.int32)
         new_levels = self._sample_levels(b)
+        new_levels[b_real:] = -1
         batch_max_level = int(new_levels.max())
         self._ensure_levels(batch_max_level)
 
         xj = jnp.asarray(x, self.dtype)
         self.data = jax.lax.dynamic_update_slice_in_dim(
-            self.data, xj, self.n, axis=0
+            self.data, xj[:b_real], self.n, axis=0
         )
         self.norms = jax.lax.dynamic_update_slice_in_dim(
-            self.norms, squared_norms(xj), self.n, axis=0
+            self.norms, squared_norms(xj[:b_real]), self.n, axis=0
         )
-        self.levels[self.n : self.n + b] = new_levels
-        self.labels[self.n : self.n + b] = labels
+        self.levels[self.n : self.n + b_real] = new_levels[:b_real]
+        self.labels[self.n : self.n + b_real] = labels
         for i, lab in enumerate(labels):
             self.label_to_id[int(lab)] = int(ids_np[i])
 
@@ -174,7 +262,7 @@ class HNSWIndex:
                 res = beam_search(
                     xj, self.data, self.norms, adj_l, cur[:, None],
                     width=cfg.ef_construction, metric=self.metric,
-                    max_hops=256,
+                    max_hops=256, expand=cfg.insert_expand,
                 )
                 pools[lvl] = (res.dists, res.ids)
                 cur = jnp.where(beam_rows | True, res.ids[:, 0], cur)
@@ -244,79 +332,96 @@ class HNSWIndex:
             self.ep = int(ids_np[int(np.argmax(new_levels))])
         if self.ep == PAD_ID:
             self.ep = int(ids_np[0])
-        self.n += b
+        self.n += b_real
 
     def _reverse_insert(
-        self, lvl: int, src: np.ndarray, kept_i: np.ndarray,
-        kept_d: np.ndarray,
+        self, lvl: int, src: np.ndarray, kept_i, kept_d,
     ) -> None:
         """Bidirectional linking with overflow re-prune
-        (mutuallyConnectNewElement's second half, hnswalg.h:554-627)."""
+        (mutuallyConnectNewElement's second half, hnswalg.h:554-627).
+
+        Device-resident: proposals scatter into per-destination buffers on
+        device (random-column reservoir, matching the batch's inherent
+        nondeterminism); destinations with room merge-append (dedup by
+        distance-sort, order-free equivalent of the reference's free-slot
+        append); overflowing destinations occlusion-re-prune. Only the tiny
+        destination-id list crosses to the host — the adjacency never does
+        (device<->host is the bottleneck on tunneled TPUs)."""
         cap_deg = 2 * self.cfg.M if lvl == 0 else self.cfg.M
-        m = kept_i >= 0
-        e_src = np.repeat(src, kept_i.shape[1])[m.reshape(-1)]
-        e_dst = kept_i.reshape(-1)[m.reshape(-1)]
-        e_d = kept_d.reshape(-1)[m.reshape(-1)]
-        if len(e_dst) == 0:
+        kept_i = jnp.asarray(kept_i)
+        kept_d = jnp.asarray(kept_d)
+        kept_np = np.asarray(kept_i)
+        dsts = np.unique(kept_np[kept_np >= 0])
+        if len(dsts) == 0:
             return
-        adj_l = np.array(self._adj_at(lvl))  # writable host copy
+        adj_l = self._adj_at(lvl)
 
-        # drop if already linked back
-        present = (adj_l[e_dst] == e_src[:, None]).any(axis=1)
-        e_src, e_dst, e_d = e_src[~present], e_dst[~present], e_d[~present]
-        if len(e_dst) == 0:
-            return
-
-        order = np.lexsort((e_d, e_dst))
-        e_src, e_dst, e_d = e_src[order], e_dst[order], e_d[order]
-        uniq, start, counts = np.unique(
-            e_dst, return_index=True, return_counts=True
+        # scatter proposals: inc[dst, rand_col] = (src, d)
+        b, m = kept_np.shape
+        rng_cols = self._rng.integers(0, cap_deg, (b, m))
+        cols = jnp.asarray(rng_cols, jnp.int32)
+        dst_idx = jnp.where(kept_i >= 0, kept_i, self.cap)
+        src_b = jnp.broadcast_to(
+            jnp.asarray(src, jnp.int32)[:, None], (b, m)
         )
-        # cap incoming proposals per destination at cap_deg (sorted by
-        # distance, so these are the closest; keeps the re-prune pool width
-        # bounded at 2*cap_deg instead of hub-node in-degree)
-        cap_in = min(int(counts.max()), cap_deg)
-        inc = np.full((len(uniq), cap_in), PAD_ID, np.int32)
-        inc_d = np.full((len(uniq), cap_in), _BIG, np.float32)
-        for col in range(cap_in):
-            sel = counts > col
-            inc[sel, col] = e_src[start[sel] + col]
-            inc_d[sel, col] = e_d[start[sel] + col]
+        inc = jnp.full((self.cap, cap_deg), PAD_ID, jnp.int32).at[
+            dst_idx.reshape(-1), cols.reshape(-1)
+        ].set(src_b.reshape(-1), mode="drop")
+        inc_d = jnp.full((self.cap, cap_deg), PAD_DIST, jnp.float32).at[
+            dst_idx.reshape(-1), cols.reshape(-1)
+        ].set(kept_d.reshape(-1), mode="drop")
 
-        deg = (adj_l[uniq, :cap_deg] >= 0).sum(axis=1)
-        n_inc = np.minimum(counts, cap_in)
-        overflow = deg + n_inc > cap_deg
+        # bucket the receiving-destination list (host side, tiny)
+        bucket = 512
+        while bucket < len(dsts):
+            bucket *= 2
+        rows_np = np.full(bucket, -1, np.int64)
+        rows_np[: len(dsts)] = dsts
+        rows_j = jnp.asarray(np.where(rows_np >= 0, rows_np, 0))
+        live = jnp.asarray(rows_np >= 0)
 
-        room = np.nonzero(~overflow)[0]
-        if len(room):
-            rows = uniq[room]
-            base = deg[room]
-            for col in range(cap_in):
-                mcol = n_inc[room] > col
-                adj_l[rows[mcol], base[mcol] + col] = inc[room[mcol], col]
-
-        ov = np.nonzero(overflow)[0]
-        if len(ov):
-            rows = uniq[ov]
-            rows_j = jnp.asarray(rows)
-            exist = jnp.asarray(adj_l[rows][:, :cap_deg])
-            vecs = jnp.take(self.data, rows_j, axis=0)
-            exist_d = gathered_dists(
-                vecs, self.data, exist, self.metric, self.norms, exact=True
+        exist = jnp.take(adj_l, rows_j, axis=0)[:, :cap_deg]
+        vecs = jnp.take(self.data, rows_j, axis=0)
+        exist_d = gathered_dists(
+            vecs, self.data, exist, self.metric, self.norms, exact=True
+        )
+        pool_i = jnp.concatenate(
+            [exist, jnp.take(inc, rows_j, axis=0)], axis=1
+        )
+        pool_d = jnp.concatenate(
+            [exist_d, jnp.take(inc_d, rows_j, axis=0)], axis=1
+        )
+        # drop duplicate (dst already links src) via sorted-dedup merge;
+        # result doubles as the "room" (append) path
+        from ..ops.topk import merge_into_retset_sorted
+        md, mi, _ = merge_into_retset_sorted(
+            jnp.full((bucket, cap_deg), PAD_DIST, jnp.float32),
+            jnp.full((bucket, cap_deg), PAD_ID, jnp.int32),
+            jnp.ones((bucket, cap_deg), jnp.bool_),
+            pool_d, pool_i,
+        )
+        sp = jnp.sort(pool_i, axis=1)
+        distinct = (sp >= 0) & jnp.concatenate(
+            [jnp.ones_like(sp[:, :1], dtype=jnp.bool_),
+             sp[:, 1:] != sp[:, :-1]],
+            axis=1,
+        )
+        overflow = jnp.sum(distinct, axis=1) > cap_deg
+        kept2_i, _ = occlusion_prune_padded(
+            vecs, pool_i, pool_d, self.data, self.norms,
+            max_keep=cap_deg, metric=self.metric, self_ids=rows_j,
+        )
+        new_rows = jnp.where(overflow[:, None], kept2_i, mi)
+        w = adj_l.shape[1]
+        if w > cap_deg:
+            new_rows = jnp.concatenate(
+                [new_rows,
+                 jnp.full((bucket, w - cap_deg), PAD_ID, jnp.int32)],
+                axis=1,
             )
-            pool_i = jnp.concatenate([exist, jnp.asarray(inc[ov])], axis=1)
-            pool_d = jnp.concatenate(
-                [exist_d, jnp.asarray(inc_d[ov])], axis=1
-            )
-            kept2_i, _ = occlusion_prune_padded(
-                vecs, pool_i, pool_d, self.data, self.norms,
-                max_keep=cap_deg, metric=self.metric, self_ids=rows_j,
-            )
-            full = np.full((len(rows), adj_l.shape[1]), PAD_ID, np.int32)
-            full[:, :cap_deg] = np.asarray(kept2_i)
-            adj_l[rows] = full
-
-        self._set_adj(lvl, jnp.asarray(adj_l))
+        write_rows = jnp.where(live, rows_j, self.cap)
+        adj_l = adj_l.at[write_rows].set(new_rows, mode="drop")
+        self._set_adj(lvl, adj_l)
 
     # ------------------------------------------------------------------
     # search

@@ -47,13 +47,24 @@ def _assign(data, centroids, c_norms, chunk: int = 65536):
     )
 
 
-@jax.jit
-def _update(data, assign, k_arr):
-    """Scatter-add centroid update. k_arr is a [k, d]-shaped zeros template
-    so k stays out of the jit cache key."""
-    sums = k_arr.at[assign].add(data.astype(jnp.float32))
-    counts = jnp.zeros((k_arr.shape[0],), jnp.float32).at[assign].add(1.0)
-    return sums, counts
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _step(data, centroids, chunk: int):
+    """One full Lloyd's iteration on device, fixed shapes: assign ->
+    scatter-add update -> re-seed empty clusters from the k worst-assigned
+    points (cluster i takes the i-th farthest point)."""
+    k, d = centroids.shape
+    c_norms = squared_norms(centroids)
+    assign, dmin = _assign(data, centroids, c_norms, chunk=chunk)
+    sums = jnp.zeros((k, d), jnp.float32).at[assign].add(
+        data.astype(jnp.float32)
+    )
+    counts = jnp.zeros((k,), jnp.float32).at[assign].add(1.0)
+    new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+    _, far = jax.lax.top_k(dmin, k)
+    reseed = jnp.take(data, far, axis=0).astype(jnp.float32)
+    empty = counts == 0
+    new_c = jnp.where(empty[:, None], reseed, new_c)
+    return new_c, jnp.mean(dmin), jnp.sum(empty)
 
 
 def kmeans(
@@ -68,35 +79,20 @@ def kmeans(
     data = jnp.asarray(data)
     n, d = data.shape
     k = min(k, n)
+    chunk = min(chunk, n)
     rng = np.random.default_rng(seed)
     centroids = jnp.asarray(
         np.asarray(data)[rng.choice(n, k, replace=False)], jnp.float32
     )
-    template = jnp.zeros((k, d), jnp.float32)
 
-    assign = None
     for it in range(iters):
-        c_norms = squared_norms(centroids)
-        assign, dmin = _assign(data, centroids, c_norms, chunk=min(chunk, n))
-        sums, counts = _update(data, assign, template)
-        empty = counts == 0
-        n_empty = int(jnp.sum(empty))
-        centroids = jnp.where(
-            empty[:, None], centroids, sums / jnp.maximum(counts, 1)[:, None]
-        )
-        if n_empty:
-            # re-seed empty clusters from the worst-assigned points
-            far = np.asarray(jnp.argsort(-dmin)[:n_empty])
-            idxs = np.nonzero(np.asarray(empty))[0]
-            centroids = centroids.at[jnp.asarray(idxs)].set(
-                jnp.take(data, jnp.asarray(far), axis=0).astype(jnp.float32)
-            )
+        centroids, mean_d, n_empty = _step(data, centroids, chunk)
         if verbose:
             print(
                 f"kmeans iter {it + 1}/{iters}: mean dist "
-                f"{float(jnp.mean(dmin)):.4f} empty={n_empty}"
+                f"{float(mean_d):.4f} empty={int(n_empty)}"
             )
 
     c_norms = squared_norms(centroids)
-    assign, _ = _assign(data, centroids, c_norms, chunk=min(chunk, n))
+    assign, _ = _assign(data, centroids, c_norms, chunk=chunk)
     return centroids, assign

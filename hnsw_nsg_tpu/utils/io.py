@@ -33,6 +33,10 @@ PAD_ID = -1
 
 
 def _read_xvecs(path: str, dtype, elem_size: int) -> np.ndarray:
+    from . import native
+    fast = native.read_xvecs(path, dtype, elem_size)
+    if fast is not None:
+        return fast
     raw = np.fromfile(path, dtype=np.uint8)
     if raw.size == 0:
         return np.zeros((0, 0), dtype=dtype)
@@ -208,3 +212,30 @@ def read_mapping(path: str) -> np.ndarray:
 
 def write_mapping(path: str, mapping: np.ndarray) -> None:
     np.ascontiguousarray(mapping, dtype=np.int64).tofile(path)
+
+
+# ---------------------------------------------------------------------------
+# DiskANN-style .bin format (the reference's converter apps, CNNS/apps/):
+# header int32 npts, int32 dim, then row-major payload.
+
+
+def read_bin(path: str, dtype=np.float32) -> np.ndarray:
+    with open(path, "rb") as f:
+        n, dim = struct.unpack("<ii", f.read(8))
+        data = np.fromfile(f, dtype=dtype, count=n * dim)
+    return data.reshape(n, dim)
+
+
+def write_bin(path: str, arr: np.ndarray, dtype=None) -> None:
+    arr = np.ascontiguousarray(arr, dtype=dtype or arr.dtype)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", arr.shape[0], arr.shape[1]))
+        arr.tofile(f)
+
+
+def read_tsv(path: str) -> np.ndarray:
+    return np.loadtxt(path, dtype=np.float32, delimiter="\t", ndmin=2)
+
+
+def write_tsv(path: str, arr: np.ndarray) -> None:
+    np.savetxt(path, np.asarray(arr), delimiter="\t", fmt="%.6f")

@@ -47,6 +47,10 @@ class HNSWConfig:
     ef: int = 10
     random_seed: int = 100
     allow_replace_deleted: bool = False
+    # frontier nodes expanded per lockstep hop during construction beams;
+    # >1 trades a few extra distance evals for proportionally fewer
+    # sequential hops (TPU-specific knob, no reference equivalent)
+    insert_expand: int = 4
 
     @property
     def maxM0(self) -> int:

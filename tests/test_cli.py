@@ -1,0 +1,84 @@
+"""End-to-end CLI pipeline: build-clusters -> build-nsg -> search-clusters,
+converters, recall calc — the reference's executable workflow."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from hnsw_nsg_tpu.cli import main
+from hnsw_nsg_tpu.utils import io
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cliwork")
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 12)).astype(np.float32) * 4
+    x = (centers[rng.integers(0, 8, 1200)]
+         + rng.standard_normal((1200, 12))).astype(np.float32)
+    q = (centers[rng.integers(0, 8, 16)]
+         + rng.standard_normal((16, 12))).astype(np.float32)
+    io.write_fvecs(str(d / "base.fvecs"), x)
+    io.write_fvecs(str(d / "query.fvecs"), q)
+    full = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+    gt = np.argsort(full, axis=1)[:, :10].astype(np.int32)
+    io.write_gt(str(d / "gt.ivecs"), gt)
+    return d
+
+
+def test_full_cluster_pipeline(workdir, capsys):
+    prefix = str(workdir / "artifacts")
+    main(["build-clusters", str(workdir / "base.fvecs"),
+          "4", "2", "12", "20", "5", "6", "8", prefix,
+          "--kmeans-iters", "8"])
+    assert os.path.exists(os.path.join(prefix, "centroids.fvecs"))
+    assert os.path.exists(os.path.join(prefix, "mapping", "mapping_0"))
+    main(["build-nsg", prefix, "16", "10", "60"])
+    assert os.path.exists(os.path.join(prefix, "nsg_graph", "nsg_0.nsg"))
+    capsys.readouterr()
+    main(["search-clusters", prefix, str(workdir / "query.fvecs"),
+          "--gt", str(workdir / "gt.ivecs"), "--k", "10",
+          "--nprobe", "3", "--local", "nsg"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["recall"] > 0.8, out
+
+
+def test_hnsw_cli(workdir, capsys, tmp_path):
+    out_idx = str(tmp_path / "h.npz")
+    main(["build-hnsw", str(workdir / "base.fvecs"), out_idx,
+          "--M", "12", "--efc", "60", "--batch", "600"])
+    capsys.readouterr()
+    main(["search-hnsw", out_idx, str(workdir / "query.fvecs"),
+          "--gt", str(workdir / "gt.ivecs"), "--k", "10",
+          "--efs", "20,80"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    rows = [l.split("\t") for l in lines[1:]]
+    assert float(rows[-1][1]) > 0.9  # recall at ef=80
+
+
+def test_converters(workdir, tmp_path, capsys):
+    src = str(workdir / "base.fvecs")
+    binp = str(tmp_path / "a.bin")
+    main(["convert", src, binp])
+    x = io.read_bin(binp)
+    np.testing.assert_allclose(x, io.read_fvecs(src), rtol=1e-6)
+    tsvp = str(tmp_path / "a.tsv")
+    main(["convert", binp, tsvp])
+    back = io.read_tsv(tsvp)
+    np.testing.assert_allclose(back, x, atol=1e-4)
+    i8 = str(tmp_path / "b.bin")
+    main(["convert", src, i8, "--int8"])
+    v = io.read_bin(i8, np.int8)
+    assert v.dtype == np.int8 and v.shape == x.shape
+
+
+def test_calculate_recall(workdir, tmp_path, capsys):
+    gt = io.read_gt(str(workdir / "gt.ivecs"))
+    io.write_ivecs(str(tmp_path / "res.ivecs"), gt[:, :10].astype(np.int32))
+    capsys.readouterr()
+    main(["calculate-recall", str(tmp_path / "res.ivecs"),
+          str(workdir / "gt.ivecs"), "--k", "10"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["recall"] == 1.0
