@@ -262,28 +262,42 @@ def build_cnns(
         data, cfg.n_clusters, iters=cfg.kmeans_iters, seed=seed
     )
     assign = np.asarray(assign)
-    c = centroids.shape[0]
+    k0 = centroids.shape[0]
 
+    # slab layout: oversized clusters are split into multiple slabs so the
+    # common pad width maxc stays ~2x the mean cluster size — padding width
+    # is paid on every probe, so balance is throughput
     order = np.argsort(assign, kind="stable")
-    sizes = np.bincount(assign, minlength=c)
-    maxc = int(((sizes.max() + 7) // 8) * 8)
-    ids_c = np.full((c, maxc), PAD_ID, np.int32)
-    starts = np.zeros(c + 1, np.int64)
-    starts[1:] = np.cumsum(sizes)
-    for ci in range(c):
-        ids_c[ci, : sizes[ci]] = order[starts[ci] : starts[ci + 1]]
+    sizes0 = np.bincount(assign, minlength=k0)
+    target = max(int(np.ceil(n / k0)), 8)
+    maxc = int(((2 * target + 7) // 8) * 8)
+    starts = np.zeros(k0 + 1, np.int64)
+    starts[1:] = np.cumsum(sizes0)
+
+    slab_members = []
+    for ci in range(k0):
+        members = order[starts[ci] : starts[ci + 1]]
+        for s0 in range(0, max(len(members), 1), maxc):
+            slab_members.append(members[s0 : s0 + maxc])
+    c = len(slab_members)
+    sizes = np.array([len(m) for m in slab_members])
 
     data_np = np.asarray(data)
+    ids_c = np.full((c, maxc), PAD_ID, np.int32)
     data_c = np.zeros((c, maxc, d), np.float32)
-    for ci in range(c):
-        data_c[ci, : sizes[ci]] = data_np[ids_c[ci, : sizes[ci]]]
+    for ci, members in enumerate(slab_members):
+        ids_c[ci, : len(members)] = members
+        data_c[ci, : len(members)] = data_np[members]
 
-    # representatives: centroid + m random members
+    # representatives: centroid (slab mean) + m random members
     # (cluster_IVF_nndescent.cpp:143-186)
     reps = np.zeros((c, cfg.m + 1, d), np.float32)
-    reps[:, 0] = np.asarray(centroids)
     for ci in range(c):
         sz = max(sizes[ci], 1)
+        reps[ci, 0] = (
+            data_c[ci, : sizes[ci]].mean(axis=0)
+            if sizes[ci] else data_np[0]
+        )
         pick = rng.integers(0, sz, cfg.m)
         reps[ci, 1:] = data_c[ci, pick]
 

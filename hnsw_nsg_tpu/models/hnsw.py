@@ -625,6 +625,67 @@ class HNSWIndex:
             metric=self.metric,
         )
 
+    def save_hnswlib_format(self, path: str) -> None:
+        """Write the reference's binary index format (hnswalg.h:685-713) —
+        loadable by stock hnswlib."""
+        from ..utils.hnswlib_format import write_hnswlib_index
+
+        n = self.n
+        write_hnswlib_index(
+            path,
+            np.asarray(self.data[:n]),
+            self.labels[:n],
+            self.levels[:n],
+            np.asarray(self.adj0[:n]),
+            [np.asarray(a[:n]) for a in self.adj_up],
+            self.deleted[:n],
+            m=self.cfg.M,
+            ef_construction=self.cfg.ef_construction,
+            enterpoint=self.ep,
+            maxlevel=self.max_level,
+            mult=self.cfg.mult,
+        )
+
+    @classmethod
+    def load_hnswlib_format(
+        cls, path: str, metric: str = "l2",
+        max_elements: int | None = None,
+    ) -> "HNSWIndex":
+        """Load an index written by the reference (or by
+        save_hnswlib_format)."""
+        from ..utils.hnswlib_format import read_hnswlib_index
+
+        z = read_hnswlib_index(path)
+        n = z["data"].shape[0]
+        cap = max(max_elements or z["max_elements"], n)
+        cfg = HNSWConfig(M=z["M"], ef_construction=z["ef_construction"])
+        idx = cls(z["data"].shape[1], cap, cfg, metric)
+        idx.n = n
+        idx.max_level = z["maxlevel"]
+        idx.ep = int(z["enterpoint"])
+        idx.data = idx.data.at[:n].set(jnp.asarray(z["data"]))
+        idx.norms = idx.norms.at[:n].set(
+            squared_norms(jnp.asarray(z["data"]))
+        )
+        pad0 = jnp.full((cap, 2 * cfg.M), PAD_ID, jnp.int32)
+        a0 = np.full((n, 2 * cfg.M), PAD_ID, np.int32)
+        a0[:, : z["adj0"].shape[1]] = z["adj0"][:, : 2 * cfg.M]
+        idx.adj0 = pad0.at[:n].set(jnp.asarray(a0))
+        idx.adj_up = []
+        for a in z["adj_up"]:
+            arr = jnp.full((cap, cfg.M), PAD_ID, jnp.int32)
+            au = np.full((n, cfg.M), PAD_ID, np.int32)
+            au[:, : a.shape[1]] = a[:, : cfg.M]
+            idx.adj_up.append(arr.at[:n].set(jnp.asarray(au)))
+        idx.levels[:n] = z["levels"]
+        idx.labels[:n] = z["labels"]
+        idx.deleted[:n] = z["deleted"]
+        idx.num_deleted = int(z["deleted"].sum())
+        idx.label_to_id = {
+            int(l): i for i, l in enumerate(z["labels"])
+        }
+        return idx
+
     @classmethod
     def load(cls, path: str, max_elements: int | None = None) -> "HNSWIndex":
         z = np.load(path, allow_pickle=False)

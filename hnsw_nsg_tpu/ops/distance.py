@@ -36,8 +36,13 @@ import jax
 import jax.numpy as jnp
 
 # Large-but-finite sentinel for padded / invalid distances. Finite so that
-# arithmetic stays NaN-free; anything real is strictly smaller.
-PAD_DIST = jnp.float32(3.4e37)
+# arithmetic stays NaN-free; anything real is strictly smaller. Kept as a
+# host-side numpy scalar: a module-level device array would be embedded as
+# a compile-time constant in every jit trace (forcing device fetches at
+# trace time).
+import numpy as _np
+
+PAD_DIST = _np.float32(3.4e37)
 # Sentinel id for padded adjacency slots / empty retset slots.
 PAD_ID = -1
 

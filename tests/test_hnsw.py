@@ -144,3 +144,32 @@ class TestPersistence:
             np.arange(100, 150),
         )
         assert idx2.n == 150
+
+
+class TestHnswlibFormat:
+    def test_binary_format_roundtrip(self, built, tmp_path):
+        """The reference's saveIndex/loadIndex byte format (hnswalg.h:
+        685-822) must round-trip through our reader/writer."""
+        x, q, idx = built
+        p = str(tmp_path / "ref_format.bin")
+        idx.save_hnswlib_format(p)
+        from hnsw_nsg_tpu.models.hnsw import HNSWIndex as H
+        idx2 = H.load_hnswlib_format(p)
+        assert idx2.n == idx.n
+        assert idx2.ep == idx.ep and idx2.max_level == idx.max_level
+        l1, d1 = idx.knn_query(q[:8], k=5, ef=50)
+        l2, d2 = idx2.knn_query(q[:8], k=5, ef=50)
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_allclose(d1, d2, rtol=1e-5)
+
+    def test_binary_format_fields(self, built, tmp_path):
+        x, q, idx = built
+        p = str(tmp_path / "ref2.bin")
+        idx.mark_deleted(3)
+        idx.save_hnswlib_format(p)
+        from hnsw_nsg_tpu.utils.hnswlib_format import read_hnswlib_index
+        z = read_hnswlib_index(p)
+        assert z["M"] == idx.cfg.M and z["maxM0"] == 2 * idx.cfg.M
+        assert z["deleted"][3]
+        np.testing.assert_allclose(z["data"], np.asarray(x), rtol=1e-6)
+        idx.unmark_deleted(3)
