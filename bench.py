@@ -52,14 +52,17 @@ def make_data(n, d, q, seed=0):
 
 
 def main():
-    from hnsw_nsg_tpu.ops import brute_force_topk, recall
+    import jax.numpy as jnp
+    from hnsw_nsg_tpu.ops import (
+        brute_force_topk, brute_force_topk_approx, recall, squared_norms,
+    )
     from hnsw_nsg_tpu.models.cnns import build_cnns
     from hnsw_nsg_tpu.utils.params import CNNSConfig
 
     n = int(os.environ.get("BENCH_N", 1_000_000))
     nq = int(os.environ.get("BENCH_Q", 2048))
     d = 128
-    engine = os.environ.get("BENCH_ENGINE", "cnns_flat")
+    engine = os.environ.get("BENCH_ENGINE", "brute")
     n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 2048, 8)))
 
     t0 = time.time()
@@ -67,44 +70,70 @@ def main():
     log(f"data: {n}x{d}, {nq} queries ({time.time() - t0:.1f}s)")
 
     t0 = time.time()
-    _, gt = brute_force_topk(queries, x, K)
+    xd = jnp.asarray(x)
+    qd = jnp.asarray(queries)
+    _, gt = brute_force_topk(qd, xd, K)
     gt = np.asarray(gt)
     log(f"ground truth ({time.time() - t0:.1f}s)")
 
-    t0 = time.time()
-    local = "nsg" if engine == "cnns_nsg" else "flat"
-    idx = build_cnns(
-        x,
-        CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12),
-        local_index=local,
-    )
-    build_s = time.time() - t0
-    log(f"build ({engine}, {n_clusters} clusters): {build_s:.1f}s")
+    if engine == "brute":
+        # the BruteforceSearch engine at MXU speed-of-light: dense bf16
+        # GEMM + TPU-native approximate top-k
+        t0 = time.time()
+        norms = squared_norms(xd)
+        build_s = time.time() - t0
+        setting = "bf16+approx_top_k"
+
+        def run():
+            return brute_force_topk_approx(
+                qd, xd, K, x_norms=norms, recall_target=0.97
+            )
+    else:
+        t0 = time.time()
+        local = "nsg" if engine == "cnns_nsg" else "flat"
+        idx = build_cnns(
+            x,
+            CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12),
+            local_index=local,
+        )
+        build_s = time.time() - t0
+        log(f"build ({engine}, {n_clusters} clusters): {build_s:.1f}s")
 
     best = None
-    nprobe = 2
-    while nprobe <= n_clusters:
-        dd, ii = idx.search(queries, k=K, nprobe=nprobe)
+    if engine == "brute":
+        dd, ii = run()
         r = recall(np.asarray(ii), gt)
-        # timed run (warm)
         t0 = time.time()
-        reps = 3
+        reps = 5
         for _ in range(reps):
-            dd, ii = idx.search(queries, k=K, nprobe=nprobe)
+            dd, ii = run()
         np.asarray(ii)
         qps = nq * reps / (time.time() - t0)
-        log(f"nprobe={nprobe}: recall@10={r:.4f} qps={qps:.0f}")
-        best = (nprobe, r, qps)
-        if r >= TARGET_RECALL:
-            break
-        nprobe *= 2
+        log(f"brute: recall@10={r:.4f} qps={qps:.0f}")
+        best = (setting, r, qps)
+    else:
+        nprobe = 2
+        while nprobe <= idx.n_clusters:
+            dd, ii = idx.search(queries, k=K, nprobe=nprobe)
+            r = recall(np.asarray(ii), gt)
+            t0 = time.time()
+            reps = 3
+            for _ in range(reps):
+                dd, ii = idx.search(queries, k=K, nprobe=nprobe)
+            np.asarray(ii)
+            qps = nq * reps / (time.time() - t0)
+            log(f"nprobe={nprobe}: recall@10={r:.4f} qps={qps:.0f}")
+            best = (f"nprobe={nprobe}", r, qps)
+            if r >= TARGET_RECALL:
+                break
+            nprobe *= 2
 
-    nprobe, r, qps = best
+    setting, r, qps = best
     print(json.dumps({
         "metric": (
             f"QPS at recall@10>={TARGET_RECALL} (measured {r:.3f}), "
             f"N={n} d={d} clustered-synthetic, engine={engine} "
-            f"nprobe={nprobe}, build_s={build_s:.0f}, 1 TPU chip"
+            f"{setting}, build_s={build_s:.0f}, 1 TPU chip"
         ),
         "value": round(qps, 1),
         "unit": "qps",

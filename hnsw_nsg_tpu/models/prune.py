@@ -72,52 +72,66 @@ def occlusion_prune(
     c = scan
 
     # The greedy scan is equivalent to max_keep ROUNDS of "take the closest
-    # not-yet-occluded candidate, then occlude everything it dominates":
-    # each round tests ALL candidates against the one new kept vector in a
-    # single [B, C] batched distance block — max_keep (<=R ~ 16-50) fat
-    # steps instead of C (~500) thin ones.
-    cand_vecs = jnp.take(
-        data, jnp.where(s_ids >= 0, s_ids, 0), axis=0
-    ).astype(jnp.float32)  # [B, C, d]
-    if metric == "l2":
-        cand_norms = jnp.take(norms, jnp.where(s_ids >= 0, s_ids, 0), axis=0)
+    # not-yet-occluded candidate, then occlude everything it dominates".
+    # All pair distances are precomputed in one batched [C, d] x [d, C]
+    # GEMM per row chunk (proper MXU shape); the rounds themselves are pure
+    # mask updates on the VPU — no distance work in the sequential part.
+    chunk = max(min(b, (1 << 24) // (c * c)), 8)  # ~64MB pair blocks
+    while b % chunk:
+        chunk //= 2
+    nb = b // chunk
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
-    kept_ids = jnp.full((b, max_keep), PAD_ID, jnp.int32)
-    kept_d = jnp.full((b, max_keep), PAD_DIST, jnp.float32)
-    dead = ~((s_ids >= 0) & (s_d < PAD_DIST))  # occluded-or-invalid-or-kept
-
-    def round_fn(r, carry):
-        kept_ids, kept_d, dead = carry
-        # closest still-eligible candidate per row
-        key = jnp.where(dead, c, col)
-        pick = jnp.argmin(key, axis=1)  # [B]
-        got = jnp.take_along_axis(dead, pick[:, None], axis=1)[:, 0] == False
-        pid = jnp.take_along_axis(s_ids, pick[:, None], axis=1)[:, 0]
-        pdist = jnp.take_along_axis(s_d, pick[:, None], axis=1)[:, 0]
-        kept_ids = kept_ids.at[:, r].set(jnp.where(got, pid, PAD_ID))
-        kept_d = kept_d.at[:, r].set(jnp.where(got, pdist, PAD_DIST))
-        # occlude candidates dominated by the new kept vector
-        v = jnp.take_along_axis(
-            cand_vecs, pick[:, None, None], axis=1
-        )[:, 0, :]  # [B, d]
+    def block_fn(args):
+        s_ids_b, s_d_b = args
+        safe = jnp.where(s_ids_b >= 0, s_ids_b, 0)
+        vecs = jnp.take(data, safe, axis=0).astype(jnp.float32)  # [B,C,d]
         dots = jnp.einsum(
-            "bd,bcd->bc", v, cand_vecs, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            "bcd,bed->bce", vecs, vecs,
+            preferred_element_type=jnp.float32,
         )
         if metric in ("ip", "cosine"):
             pair = 1.0 - dots
         else:
-            vn = jnp.take_along_axis(cand_norms, pick[:, None], axis=1)
-            pair = cand_norms + vn - 2.0 * dots
-        newly_dead = got[:, None] & (pair < s_d)
-        dead = dead | newly_dead | (col == pick[:, None])
-        return kept_ids, kept_d, dead
+            nrm = jnp.take(norms, safe, axis=0)
+            pair = nrm[:, :, None] + nrm[:, None, :] - 2.0 * dots
 
-    kept_ids, kept_d, _ = jax.lax.fori_loop(
-        0, max_keep, round_fn, (kept_ids, kept_d, dead)
+        bb = s_ids_b.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (bb, c), 1)
+        kept_ids = jnp.full((bb, max_keep), PAD_ID, jnp.int32)
+        kept_d = jnp.full((bb, max_keep), PAD_DIST, jnp.float32)
+        dead = ~((s_ids_b >= 0) & (s_d_b < PAD_DIST))
+
+        def round_fn(r, carry):
+            kept_ids, kept_d, dead = carry
+            key = jnp.where(dead, c, col)
+            pick = jnp.argmin(key, axis=1)  # [B]
+            got = ~jnp.take_along_axis(dead, pick[:, None], axis=1)[:, 0]
+            pid = jnp.take_along_axis(s_ids_b, pick[:, None], axis=1)[:, 0]
+            pdist = jnp.take_along_axis(s_d_b, pick[:, None], axis=1)[:, 0]
+            kept_ids = kept_ids.at[:, r].set(jnp.where(got, pid, PAD_ID))
+            kept_d = kept_d.at[:, r].set(
+                jnp.where(got, pdist, PAD_DIST)
+            )
+            prow = jnp.take_along_axis(
+                pair, pick[:, None, None], axis=1
+            )[:, 0, :]  # [B, C] distances from the new kept to everyone
+            dead = dead | (got[:, None] & (prow < s_d_b)) | (
+                col == pick[:, None]
+            )
+            return kept_ids, kept_d, dead
+
+        kept_ids, kept_d, _ = jax.lax.fori_loop(
+            0, max_keep, round_fn, (kept_ids, kept_d, dead)
+        )
+        return kept_ids, kept_d
+
+    if nb == 1:
+        return block_fn((s_ids, s_d))
+    out_i, out_d = jax.lax.map(
+        block_fn,
+        (s_ids.reshape(nb, chunk, c), s_d.reshape(nb, chunk, c)),
     )
-    return kept_ids, kept_d
+    return out_i.reshape(b, max_keep), out_d.reshape(b, max_keep)
 
 
 def _next_bucket(x: int, minimum: int) -> int:

@@ -10,6 +10,7 @@ from .distance import (  # noqa: F401
 )
 from .bruteforce import (  # noqa: F401
     brute_force_topk,
+    brute_force_topk_approx,
     knn_graph_exact,
     recall,
 )

@@ -97,6 +97,82 @@ def brute_force_topk(
     return best_d, best_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "tile", "recall_target", "use_bf16"),
+)
+def brute_force_topk_approx(
+    q: jax.Array,
+    x: jax.Array,
+    k: int,
+    metric: str = "l2",
+    x_norms: jax.Array | None = None,
+    tile: int = 262144,
+    recall_target: float = 0.95,
+    use_bf16: bool = True,
+):
+    """Throughput-oriented exact-scan top-k: ``jax.lax.approx_max_k``
+    (the TPU-native partial-reduce top-k) over database tiles, optionally
+    with bf16 operands (f32 accumulation).
+
+    The per-tile candidate recall target composes: per-query recall vs a
+    true exact scan is ~recall_target. This is the speed-of-light
+    configuration for large query batches at SIFT1M scale — distance work
+    is one dense GEMM, fully MXU-bound, no graph traversal at all.
+    """
+    n, d = x.shape
+    k = min(k, n)
+    if metric == "l2" and x_norms is None:
+        x_norms = squared_norms(x)
+    if use_bf16:
+        q_c = q.astype(jnp.bfloat16)
+        x_c = x.astype(jnp.bfloat16)
+    else:
+        q_c, x_c = q, x
+
+    n_tiles = -(-n // tile)
+    n_pad = n_tiles * tile
+    xp = _pad_rows(x_c, n_pad, 0)
+    norms_p = (
+        _pad_rows(x_norms, n_pad, PAD_DIST)
+        if metric == "l2" else jnp.zeros((n_pad,), jnp.float32)
+    )
+    xs = xp.reshape(n_tiles, tile, -1)
+    norm_tiles = norms_p.reshape(n_tiles, tile)
+
+    def step(carry, inp):
+        best_d, best_i = carry
+        t_idx, xt, nt = inp
+        dots = jax.lax.dot_general(
+            q_c, xt, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        score = dots - 0.5 * nt[None, :] if metric == "l2" else dots
+        # approx top-k of the *score* (max = closest for both metrics)
+        vals, idx = jax.lax.approx_max_k(
+            score, k, recall_target=recall_target
+        )
+        ids = t_idx * tile + idx.astype(jnp.int32)
+        cat_s = jnp.concatenate([best_d, vals], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        nvals, nidx = jax.lax.top_k(cat_s, k)
+        return (nvals, jnp.take_along_axis(cat_i, nidx, axis=1)), None
+
+    init = (
+        jnp.full((q.shape[0], k), -jnp.inf, jnp.float32),
+        jnp.full((q.shape[0], k), PAD_ID, jnp.int32),
+    )
+    (best_s, best_i), _ = jax.lax.scan(
+        step, init, (jnp.arange(n_tiles, dtype=jnp.int32), xs, norm_tiles)
+    )
+    # convert scores back to exact-form distances
+    if metric == "l2":
+        d_out = squared_norms(q)[:, None] - 2.0 * best_s
+    else:
+        d_out = 1.0 - best_s
+    return d_out, best_i
+
+
 def knn_graph_exact(
     x: jax.Array,
     k: int,
