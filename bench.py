@@ -82,12 +82,6 @@ def main():
         t0 = time.time()
         norms = squared_norms(xd)
         build_s = time.time() - t0
-        setting = "bf16+approx_top_k"
-
-        def run():
-            return brute_force_topk_approx(
-                qd, xd, K, x_norms=norms, recall_target=0.97
-            )
     else:
         t0 = time.time()
         local = "nsg" if engine == "cnns_nsg" else "flat"
@@ -101,16 +95,23 @@ def main():
 
     best = None
     if engine == "brute":
-        dd, ii = run()
-        r = recall(np.asarray(ii), gt)
-        t0 = time.time()
-        reps = 5
-        for _ in range(reps):
-            dd, ii = run()
-        np.asarray(ii)
-        qps = nq * reps / (time.time() - t0)
-        log(f"brute: recall@10={r:.4f} qps={qps:.0f}")
-        best = (setting, r, qps)
+        for rt in (0.95, 0.99, 0.9995):
+            dd, ii = brute_force_topk_approx(
+                qd, xd, K, x_norms=norms, recall_target=rt
+            )
+            r = recall(np.asarray(ii), gt)
+            t0 = time.time()
+            reps = 5
+            for _ in range(reps):
+                dd, ii = brute_force_topk_approx(
+                    qd, xd, K, x_norms=norms, recall_target=rt
+                )
+            np.asarray(ii)
+            qps = nq * reps / (time.time() - t0)
+            log(f"brute rt={rt}: recall@10={r:.4f} qps={qps:.0f}")
+            best = (f"bf16+approx_top_k(rt={rt})", r, qps)
+            if r >= TARGET_RECALL + 0.02:
+                break
     else:
         nprobe = 2
         while nprobe <= idx.n_clusters:

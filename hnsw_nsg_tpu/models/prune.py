@@ -76,7 +76,7 @@ def occlusion_prune(
     # All pair distances are precomputed in one batched [C, d] x [d, C]
     # GEMM per row chunk (proper MXU shape); the rounds themselves are pure
     # mask updates on the VPU — no distance work in the sequential part.
-    chunk = max(min(b, (1 << 24) // (c * c)), 8)  # ~64MB pair blocks
+    chunk = max(min(b, (1 << 26) // (c * c)), 8)  # ~256MB pair blocks
     while b % chunk:
         chunk //= 2
     nb = b // chunk
