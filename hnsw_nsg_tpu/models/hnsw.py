@@ -284,13 +284,24 @@ class HNSWIndex:
         else:
             bb_d = bb_ids = bb_peer_levels = None
 
-        # ---- phase 3: per level, prune + link + reverse insert
+        # ---- phase 3: per level, prune + link + reverse insert.
+        # Row sets are padded to power-of-two buckets: their lengths differ
+        # every batch, and unbucketed they would force a fresh compile of
+        # every eager op each batch (the dominant cost on a
+        # remote-compilation TPU).
         new_edges = []  # (level, src, dst, dist) accumulated then applied
         for lvl in range(batch_max_level, -1, -1):
             rows = np.nonzero(new_levels >= lvl)[0]
             if len(rows) == 0:
                 continue
-            rows_j = jnp.asarray(rows)
+            bucket = 64
+            while bucket < len(rows):
+                bucket *= 2
+            bucket = min(bucket, b)
+            rows_pad = np.full(bucket, -1, np.int64)
+            rows_pad[: len(rows)] = rows
+            live = jnp.asarray(rows_pad >= 0)
+            rows_j = jnp.asarray(np.where(rows_pad >= 0, rows_pad, 0))
             parts_i, parts_d = [], []
             if lvl in pools:
                 pd, pi = pools[lvl]
@@ -307,24 +318,30 @@ class HNSWIndex:
                 )
             if not parts_i:
                 continue
-            pool_i = jnp.concatenate(parts_i, axis=1)
+            pool_i = jnp.where(
+                live[:, None], jnp.concatenate(parts_i, axis=1), PAD_ID
+            )
             pool_d = jnp.concatenate(parts_d, axis=1)
             kept_i, kept_d = occlusion_prune_padded(
                 xj[rows_j], pool_i, pool_d, self.data, self.norms,
                 max_keep=cfg.M, metric=self.metric,
                 self_ids=ids[rows_j],
             )
-            # write the new nodes' rows (padded to row width)
+            # write the new nodes' rows (padded to row width; dead rows drop)
             adj_l = self._adj_at(lvl)
             w = adj_l.shape[1]
-            rowbuf = jnp.full((len(rows), w), PAD_ID, jnp.int32)
+            rowbuf = jnp.full((bucket, w), PAD_ID, jnp.int32)
             rowbuf = rowbuf.at[:, : cfg.M].set(kept_i)
-            adj_l = adj_l.at[ids[rows_j]].set(rowbuf)
+            write_rows = jnp.where(live, jnp.take(ids, rows_j), self.cap)
+            adj_l = adj_l.at[write_rows].set(rowbuf, mode="drop")
             self._set_adj(lvl, adj_l)
-            new_edges.append((lvl, rows, np.asarray(kept_i), np.asarray(kept_d)))
+            new_edges.append(
+                (lvl, np.where(rows_pad >= 0, ids_np[0] + rows_pad, -1),
+                 kept_i, kept_d)
+            )
 
-        for lvl, rows, kept_i, kept_d in new_edges:
-            self._reverse_insert(lvl, ids_np[rows], kept_i, kept_d)
+        for lvl, src_ids, kept_i, kept_d in new_edges:
+            self._reverse_insert(lvl, src_ids, kept_i, kept_d)
 
         # ---- phase 4: enterpoint/bookkeeping
         if batch_max_level > self.max_level:
