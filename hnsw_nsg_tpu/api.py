@@ -156,7 +156,7 @@ class Index:
         return self._require().n
 
     def get_max_elements(self) -> int:
-        return self._require().cap
+        return self._require().max_elements
 
     @property
     def element_count(self) -> int:
@@ -164,7 +164,7 @@ class Index:
 
     @property
     def max_elements(self) -> int:
-        return self._require().cap
+        return self._require().max_elements
 
     # -- persistence -------------------------------------------------------
 

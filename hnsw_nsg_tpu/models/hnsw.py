@@ -66,7 +66,14 @@ class HNSWIndex:
         dtype=jnp.float32,
     ):
         self.dim = dim
-        self.cap = int(max_elements)
+        self.max_elements = int(max_elements)
+        # arrays allocate at the next power of two: kernel cache keys
+        # include the arena shape, so arbitrary capacities would recompile
+        # everything per index size
+        cap = 1024
+        while cap < self.max_elements:
+            cap *= 2
+        self.cap = cap
         self.cfg = cfg
         self.metric = metric
         self.dtype = dtype
@@ -132,7 +139,7 @@ class HNSWIndex:
         if labels is None:
             labels = np.arange(self.n, self.n + b_total, dtype=np.int64)
         labels = np.asarray(labels, np.int64).reshape(b_total)
-        if self.n + b_total > self.cap:
+        if self.n + b_total > self.max_elements:
             raise RuntimeError(
                 "The number of elements exceeds the specified limit"
             )  # hnswalg.h:1177-1179 wording
@@ -565,9 +572,14 @@ class HNSWIndex:
         """resizeIndex (hnswalg.h:633-656)."""
         if new_cap < self.n:
             raise ValueError("new capacity below current element count")
-        grow = new_cap - self.cap
+        self.max_elements = int(new_cap)
+        alloc = self.cap
+        while alloc < new_cap:
+            alloc *= 2
+        grow = alloc - self.cap
         if grow <= 0:
             return
+        new_cap = alloc
         self.data = jnp.concatenate(
             [self.data, jnp.zeros((grow, self.dim), self.dtype)], axis=0
         )
