@@ -116,7 +116,7 @@ def cmd_build_nsg(args):
             continue
         knn = io.read_knn_graph(gpath)
         t0 = time.time()
-        nsg = build_nsg(data, knn, cfg)
+        nsg = build_nsg(data, knn, cfg, pad_to_bucket=True)
         nsg.save_reference_format(
             os.path.join(args.prefix, "nsg_graph", f"nsg_{cid}.nsg")
         )

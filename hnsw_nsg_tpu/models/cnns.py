@@ -319,7 +319,8 @@ def build_cnns(
             else:
                 knn = knn_graph_rp(xc, kk, metric=metric, seed=seed + ci)
             nsg = build_nsg(
-                xc, knn, cfg.nsg, metric=metric, seed=seed + ci
+                xc, knn, cfg.nsg, metric=metric, seed=seed + ci,
+                pad_to_bucket=True,
             )
             adj_local = np.asarray(nsg.adj)
             remap = np.where(adj_local >= 0, adj_local + ci * maxc, PAD_ID)

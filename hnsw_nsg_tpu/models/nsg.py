@@ -350,11 +350,54 @@ def build_nsg(
     block: int = 1024,
     seed: int = 0,
     ep: int | None = None,
+    pad_to_bucket: bool = False,
 ) -> NSGIndex:
     """Build an NSG from a dataset and its (approximate) kNN graph.
 
     data: [N, d]; knn_adj: [N, K] int32 (nn-descent output or exact).
+
+    pad_to_bucket: pad N to the next power of two with cyclic duplicate
+    rows and strip them afterwards. Kernel cache keys include N, so callers
+    building many variable-size graphs (CNNS per-cluster builds) would
+    otherwise recompile per size. Duplicates are distance-identical to
+    their sources, so remapping pad edges back to the source row preserves
+    graph semantics exactly (duplicate edges are dropped).
     """
+    if pad_to_bucket:
+        data_np = np.asarray(data)
+        n0 = data_np.shape[0]
+        bucket = 1024
+        while bucket < n0:
+            bucket *= 2
+        if bucket != n0:
+            reps = np.arange(bucket - n0) % n0
+            data_p = np.concatenate([data_np, data_np[reps]])
+            knn_np = np.asarray(knn_adj, np.int32)
+            knn_p = np.concatenate([knn_np, knn_np[reps]])
+            idx = build_nsg(
+                data_p, knn_p, cfg, metric=metric, block=block,
+                seed=seed, ep=ep, pad_to_bucket=False,
+            )
+            adj = np.asarray(idx.adj[:n0])
+            # remap edges into the pad region back to their source rows,
+            # then drop duplicates / self edges created by the remap
+            adj = np.where(adj >= n0, (adj - n0) % n0, adj)
+            adj = np.where(adj == np.arange(n0)[:, None], PAD_ID, adj)
+            srt = np.sort(adj, axis=1)
+            dup_sorted = np.concatenate(
+                [np.zeros((n0, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
+            )
+            # mark later occurrences as PAD via rank trick
+            order = np.argsort(adj, axis=1, kind="stable")
+            undo = np.argsort(order, axis=1, kind="stable")
+            dup = np.take_along_axis(dup_sorted, undo, axis=1)
+            adj = np.where(dup & (adj >= 0), PAD_ID, adj)
+            ep_out = idx.ep if idx.ep < n0 else (idx.ep - n0) % n0
+            data_j = jnp.asarray(data_np)
+            return NSGIndex(
+                data=data_j, norms=squared_norms(data_j),
+                adj=jnp.asarray(adj), ep=int(ep_out), metric=metric,
+            )
     data = jnp.asarray(data)
     knn_adj = jnp.asarray(knn_adj, jnp.int32)
     n = data.shape[0]
