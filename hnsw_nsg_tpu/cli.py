@@ -21,7 +21,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 import time
 
 import numpy as np
@@ -131,7 +130,6 @@ def cmd_search_clusters(args):
     from .models.cnns import CNNSIndex
     from .ops.bruteforce import recall as recall_fn
     from .ops.distance import PAD_ID
-    from .models.nsg import NSGIndex
 
     queries = _load_vectors(args.queries)
     gt = io.read_gt(args.gt) if args.gt else None

@@ -32,8 +32,6 @@ concurrency (SURVEY.md §2.9).
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -42,14 +40,13 @@ from ..ops.distance import (
     PAD_DIST,
     PAD_ID,
     gathered_dists,
-    normalize,
     pairwise_dists,
     squared_norms,
 )
 from ..ops.topk import topk_smallest
 from ..utils.params import HNSWConfig
 from .beam import beam_search, greedy_descent
-from .prune import occlusion_prune, occlusion_prune_padded
+from .prune import occlusion_prune_padded
 
 _BIG = np.float32(3.4e37)
 

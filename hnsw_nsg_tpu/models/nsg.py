@@ -37,7 +37,6 @@ import numpy as np
 
 from ..ops.distance import PAD_DIST, PAD_ID, gathered_dists, squared_norms
 from ..ops.bruteforce import brute_force_topk
-from ..ops.topk import topk_smallest
 from ..utils import io as io_utils
 from ..utils.params import NSGBuildConfig
 from .beam import beam_search, beam_search_collect
