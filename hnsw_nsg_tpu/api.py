@@ -169,13 +169,27 @@ class Index:
     # -- persistence -------------------------------------------------------
 
     def save_index(self, path: str) -> None:
-        self._require().save(path)
+        """Write the index at exactly ``path`` in the reference's binary
+        format (hnswalg.h:685-713) — a file stock hnswlib can load, and
+        vice versa. The native .npz container stays available through
+        ``HNSWIndex.save`` for internal artifacts."""
+        self._require().save_hnswlib_format(path)
 
     def load_index(
         self, path: str, max_elements: int = 0,
         allow_replace_deleted: bool = False,
     ) -> None:
-        self._index = HNSWIndex.load(path, max_elements or None)
+        """Load either a reference/hnswlib binary index or a native .npz
+        (sniffed by the zip magic that np.savez always writes)."""
+        with open(path, "rb") as f:
+            magic = f.read(4)
+        if magic[:2] == b"PK":
+            self._index = HNSWIndex.load(path, max_elements or None)
+        else:
+            metric = "ip" if self.space in ("ip", "cosine") else "l2"
+            self._index = HNSWIndex.load_hnswlib_format(
+                path, metric=metric, max_elements=max_elements or None,
+            )
         self._replace_deleted = allow_replace_deleted
 
     # -- pickle (bindings.cpp getAnnData/setAnnData, :351-610, 978-987) ----
@@ -322,8 +336,9 @@ class BFIndex:
         return labels, np.asarray(d)
 
     def save_index(self, path: str) -> None:
-        np.savez(path, x=self._x, labels=self._labels, cap=self.cap,
-                 space=self.space)
+        with open(path, "wb") as f:  # file object: exact path, no ".npz"
+            np.savez(f, x=self._x, labels=self._labels, cap=self.cap,
+                     space=self.space)
 
     def load_index(self, path: str, max_elements: int = 0) -> None:
         z = np.load(path, allow_pickle=False)

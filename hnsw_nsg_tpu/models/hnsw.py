@@ -634,8 +634,14 @@ class HNSWIndex:
         return bool((inbound[: self.n] > 0).all() or self.n <= 1)
 
     def save(self, path: str) -> None:
+        # np.savez given a str appends ".npz"; a file object keeps the
+        # exact path the caller asked for.
+        with open(path, "wb") as f:
+            self._savez(f)
+
+    def _savez(self, f) -> None:
         np.savez(
-            path,
+            f,
             data=np.asarray(self.data[: self.n]),
             adj0=np.asarray(self.adj0[: self.n]),
             adj_up=np.stack(

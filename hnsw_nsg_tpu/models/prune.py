@@ -76,10 +76,21 @@ def occlusion_prune(
     # All pair distances are precomputed in one batched [C, d] x [d, C]
     # GEMM per row chunk (proper MXU shape); the rounds themselves are pure
     # mask updates on the VPU — no distance work in the sequential part.
+    # The batch is padded UP to a multiple of the chunk (shapes are static
+    # at trace time, so this costs nothing at runtime) rather than shrinking
+    # the chunk to a divisor of b, which for odd b would serialize the loop
+    # into per-row lax.map steps.
     chunk = max(min(b, (1 << 26) // (c * c)), 8)  # ~256MB pair blocks
-    while b % chunk:
-        chunk //= 2
-    nb = b // chunk
+    chunk = 1 << (chunk.bit_length() - 1)
+    bp = -(-b // chunk) * chunk
+    if bp != b:
+        s_ids = jnp.concatenate(
+            [s_ids, jnp.full((bp - b, c), PAD_ID, jnp.int32)], axis=0
+        )
+        s_d = jnp.concatenate(
+            [s_d, jnp.full((bp - b, c), PAD_DIST, jnp.float32)], axis=0
+        )
+    nb = bp // chunk
 
     def block_fn(args):
         s_ids_b, s_d_b = args
@@ -126,12 +137,13 @@ def occlusion_prune(
         return kept_ids, kept_d
 
     if nb == 1:
-        return block_fn((s_ids, s_d))
+        out_i, out_d = block_fn((s_ids, s_d))
+        return out_i[:b], out_d[:b]
     out_i, out_d = jax.lax.map(
         block_fn,
         (s_ids.reshape(nb, chunk, c), s_d.reshape(nb, chunk, c)),
     )
-    return out_i.reshape(b, max_keep), out_d.reshape(b, max_keep)
+    return out_i.reshape(bp, max_keep)[:b], out_d.reshape(bp, max_keep)[:b]
 
 
 def _next_bucket(x: int, minimum: int) -> int:

@@ -12,6 +12,11 @@ uint32 linkListSize followed by that many bytes of upper-level link blocks
 The deleted mark is bit 0 of the flags uint16 (DELETE_MARK, hnswalg.h delete
 machinery :853-937). dim is derived from the arena stride, so indices built
 by the reference load without extra metadata.
+
+Both directions are fully vectorized (the only per-node Python work is the
+offset walk over the variable-length tail, which the format's sequential
+length prefixes force) — a SIFT1M-scale index reads/writes in seconds, not
+minutes.
 """
 
 from __future__ import annotations
@@ -22,6 +27,53 @@ import numpy as np
 
 PAD_ID = -1
 _HEADER = struct.Struct("<QQQQQQiIQQQdQ")
+
+
+def _parse_tail(tail: bytes, n: int, size_links_per: int, max_m: int):
+    """Parse the per-node [u32 linkListSize][blocks...] tail.
+
+    The length prefixes chain sequentially, so a light Python walk collects
+    the offsets; everything else (block extraction, count masking, per-level
+    scatter) is vectorized numpy.
+    """
+    offs_l = []
+    lls_l = []
+    pos = 0
+    for _ in range(n):
+        offs_l.append(pos)
+        v = int.from_bytes(tail[pos : pos + 4], "little")
+        lls_l.append(v)
+        pos += 4 + v
+    offs = np.asarray(offs_l, np.int64)
+    lls = np.asarray(lls_l, np.int64)
+
+    levels = (lls // size_links_per).astype(np.int32)
+    nz = np.nonzero(lls)[0]
+    adj_up: list[np.ndarray] = []
+    if len(nz) == 0:
+        return levels, adj_up
+
+    tb = np.frombuffer(tail, dtype=np.uint8)
+    lv = levels[nz].astype(np.int64)
+    total = int(lv.sum())
+    node_rep = np.repeat(np.arange(len(nz)), lv)
+    block_in_node = np.arange(total) - np.repeat(np.cumsum(lv) - lv, lv)
+    block_starts = (offs[nz] + 4)[node_rep] + block_in_node * size_links_per
+    byte_idx = block_starts[:, None] + np.arange(size_links_per)[None, :]
+    blocks = tb[byte_idx]  # [total, size_links_per]
+    cnts = blocks[:, 0:2].copy().view(np.uint16)[:, 0]
+    # node ids fit int32 (tableint <= max_elements), so view + in-place
+    # masked fill avoids int64 temporaries
+    rows = blocks[:, 4:].copy().view(np.int32).reshape(total, max_m)
+    rows[np.arange(max_m)[None, :] >= cnts[:, None]] = PAD_ID
+
+    n_levels = int(levels.max())
+    for l in range(1, n_levels + 1):
+        a = np.full((n, max_m), PAD_ID, np.int32)
+        sel = block_in_node == (l - 1)
+        a[nz[node_rep[sel]]] = rows[sel]
+        adj_up.append(a)
+    return levels, adj_up
 
 
 def read_hnswlib_index(path: str):
@@ -36,55 +88,28 @@ def read_hnswlib_index(path: str):
             _HEADER.unpack(hdr)
         arena = np.frombuffer(f.read(n * stride), dtype=np.uint8)
         arena = arena.reshape(n, stride)
+        tail = f.read()
 
-        dim = (label_off - data_off) // 4
-        counts = arena[:, 0:2].copy().view(np.uint16)[:, 0]
-        flags = arena[:, 2:4].copy().view(np.uint16)[:, 0]
-        links = arena[:, 4 : 4 + max_m0 * 4].copy().view(np.uint32).reshape(
-            n, max_m0
-        )
-        data = arena[:, data_off : data_off + dim * 4].copy().view(
-            np.float32
-        ).reshape(n, dim)
-        labels = arena[:, label_off : label_off + 8].copy().view(
-            np.int64
-        )[:, 0]
+    dim = (label_off - data_off) // 4
+    counts = arena[:, 0:2].copy().view(np.uint16)[:, 0]
+    flags = arena[:, 2:4].copy().view(np.uint16)[:, 0]
+    adj0 = arena[:, 4 : 4 + max_m0 * 4].copy().view(np.int32).reshape(
+        n, max_m0
+    )
+    adj0[np.arange(max_m0)[None, :] >= counts[:, None]] = PAD_ID
+    data = arena[:, data_off : data_off + dim * 4].copy().view(
+        np.float32
+    ).reshape(n, dim)
+    labels = arena[:, label_off : label_off + 8].copy().view(
+        np.int64
+    )[:, 0]
+    deleted = (flags & 1).astype(bool)
 
-        adj0 = np.where(
-            np.arange(max_m0)[None, :] < counts[:, None],
-            links.astype(np.int64), PAD_ID,
-        ).astype(np.int32)
-        deleted = (flags & 1).astype(bool)
+    size_links_per = max_m * 4 + 4
+    levels, adj_up = _parse_tail(tail, n, size_links_per, max_m)
 
-        size_links_per = max_m * 4 + 4
-        levels = np.zeros(n, np.int32)
-        upper = {}
-        for i in range(n):
-            (lls,) = struct.unpack("<I", f.read(4))
-            if lls == 0:
-                continue
-            lvl = lls // size_links_per
-            levels[i] = lvl
-            blob = np.frombuffer(f.read(lls), dtype=np.uint8).reshape(
-                lvl, size_links_per
-            )
-            cnts = blob[:, 0:2].copy().view(np.uint16)[:, 0]
-            ids = blob[:, 4:].copy().view(np.uint32).reshape(lvl, max_m)
-            for l in range(lvl):
-                row = np.where(
-                    np.arange(max_m) < cnts[l], ids[l].astype(np.int64),
-                    PAD_ID,
-                ).astype(np.int32)
-                upper.setdefault(l + 1, {})[i] = row
-
-    n_levels = max(upper.keys(), default=0)
-    adj_up = []
-    for l in range(1, n_levels + 1):
-        a = np.full((n, max_m), PAD_ID, np.int32)
-        for i, row in upper.get(l, {}).items():
-            a[i] = row
-        adj_up.append(a)
-
+    if enterpoint == 0xFFFFFFFF:  # unsigned wrap of the empty-index -1
+        enterpoint = PAD_ID
     return {
         "data": data, "labels": labels, "levels": levels, "adj0": adj0,
         "adj_up": adj_up, "deleted": deleted,
@@ -111,6 +136,15 @@ def write_hnswlib_index(
     stride = label_off + 8
     size_links_per = max_m * 4 + 4
 
+    if n == 0:
+        with open(path, "wb") as f:
+            f.write(_HEADER.pack(
+                0, 0, 0, stride, label_off, data_off,
+                int(maxlevel), int(enterpoint) & 0xFFFFFFFF,
+                max_m, max_m0, m, float(mult), ef_construction,
+            ))
+        return
+
     arena = np.zeros((n, stride), np.uint8)
     adj0 = np.asarray(adj0)[:, :max_m0]
     counts = (adj0 >= 0).sum(axis=1).astype(np.uint16)
@@ -128,27 +162,50 @@ def write_hnswlib_index(
         np.uint8
     ).reshape(n, 8)
 
+    # tail: per node u32 linkListSize + level blocks, assembled vectorized
+    levels = np.clip(np.asarray(levels, np.int64), 0, None)
+    lls = levels * size_links_per
+    offs = 4 * np.arange(n, dtype=np.int64) + np.concatenate(
+        [[0], np.cumsum(lls)[:-1]]
+    )
+    tail = np.zeros(int(4 * n + lls.sum()), np.uint8)
+    hdr_idx = offs[:, None] + np.arange(4)[None, :]
+    tail[hdr_idx] = lls.astype("<u4")[:, None].view(np.uint8).reshape(n, 4)
+
+    nz = np.nonzero(levels)[0]
+    if len(nz):
+        lv = levels[nz]
+        total = int(lv.sum())
+        node_rep = np.repeat(np.arange(len(nz)), lv)
+        block_in_node = np.arange(total) - np.repeat(np.cumsum(lv) - lv, lv)
+        blocks = np.zeros((total, size_links_per), np.uint8)
+        nodes = nz[node_rep]
+        for l in range(1, int(levels.max()) + 1):
+            sel = block_in_node == (l - 1)
+            row = (
+                np.asarray(adj_up[l - 1])[nodes[sel]][:, :max_m]
+                if l - 1 < len(adj_up)
+                else np.full((int(sel.sum()), max_m), PAD_ID, np.int32)
+            )
+            if row.shape[1] < max_m:
+                row = np.pad(row, ((0, 0), (0, max_m - row.shape[1])),
+                             constant_values=PAD_ID)
+            cnt = (row >= 0).sum(axis=1).astype(np.uint16)
+            blocks[sel, 0:2] = cnt[:, None].view(np.uint8).reshape(-1, 2)
+            blocks[sel, 4:] = np.where(row >= 0, row, 0).astype(
+                np.uint32
+            ).view(np.uint8).reshape(-1, max_m * 4)
+        block_starts = (offs[nz] + 4)[node_rep] + block_in_node * size_links_per
+        byte_idx = block_starts[:, None] + np.arange(size_links_per)[None, :]
+        tail[byte_idx] = blocks
+
     with open(path, "wb") as f:
         f.write(_HEADER.pack(
             0, n, n, stride, label_off, data_off,
-            int(maxlevel), int(enterpoint),
+            # empty index: enterpoint is PAD_ID (-1); the reference stores
+            # the unsigned wrap, so mask before packing as u32
+            int(maxlevel), int(enterpoint) & 0xFFFFFFFF,
             max_m, max_m0, m, float(mult), ef_construction,
         ))
         f.write(arena.tobytes())
-        levels = np.asarray(levels)
-        for i in range(n):
-            lvl = int(levels[i])
-            if lvl <= 0:
-                f.write(struct.pack("<I", 0))
-                continue
-            f.write(struct.pack("<I", size_links_per * lvl))
-            for l in range(1, lvl + 1):
-                row = (np.asarray(adj_up[l - 1][i])[:max_m]
-                       if l - 1 < len(adj_up)
-                       else np.full(max_m, PAD_ID, np.int32))
-                cnt = int((row >= 0).sum())
-                blob = np.zeros(size_links_per, np.uint8)
-                blob[0:2] = np.array([cnt], np.uint16).view(np.uint8)
-                ids = np.where(row >= 0, row, 0).astype(np.uint32)
-                blob[4:] = ids.view(np.uint8)
-                f.write(blob.tobytes())
+        f.write(tail.tobytes())

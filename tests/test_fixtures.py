@@ -32,9 +32,12 @@ def test_fixture_files_intact(fixture):
     x, q, gt = fixture
     assert x.shape == (2000, 16) and q.shape == (50, 16)
     assert gt.shape == (50, 10)
-    # pinned checksums of the committed data
-    np.testing.assert_allclose(float(x.sum()), float(x.sum()))
-    assert int(gt[0, 0]) == int(gt[0, 0])
+    # pinned literal checksums of the committed data (regenerate with
+    # x.sum() / q.sum() / gt sums if the fixtures are ever rebuilt)
+    np.testing.assert_allclose(float(x.sum()), 390.66021728515625, rtol=1e-6)
+    np.testing.assert_allclose(float(q.sum()), 34.895118713378906, rtol=1e-6)
+    assert int(gt[0, 0]) == 649
+    assert int(gt.sum()) == 494543
 
 
 def test_hnsw_recall_floor(fixture):

@@ -173,3 +173,63 @@ class TestHnswlibFormat:
         assert z["deleted"][3]
         np.testing.assert_allclose(z["data"], np.asarray(x), rtol=1e-6)
         idx.unmark_deleted(3)
+
+    def test_foreign_file(self, tmp_path):
+        """Load a file assembled BY HAND here, field by field from the
+        reference's saveIndex spec (hnswalg.h:685-713) — independent of our
+        own writer, so a matched read/write bug cannot hide. 3 nodes, dim=2,
+        M=2 (maxM0=4); node 0 at level 1, enterpoint 0, node 2 deleted."""
+        import struct
+
+        dim, m, max_m, max_m0 = 2, 2, 2, 4
+        size_links0 = 4 + max_m0 * 4
+        data_off = size_links0
+        label_off = data_off + dim * 4
+        stride = label_off + 8
+        buf = b""
+        # header: offsetLevel0, max_elements, cur_count, stride, label_off,
+        # data_off (size_t each), maxlevel i32, enterpoint u32, maxM, maxM0,
+        # M (size_t), mult f64, ef_construction (size_t)
+        buf += struct.pack(
+            "<QQQQQQiIQQQdQ", 0, 3, 3, stride, label_off, data_off,
+            1, 0, max_m, max_m0, m, 1.0 / np.log(2.0), 200,
+        )
+        vecs = [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]
+        links0 = [[1, 2], [0], [0, 1]]
+        flags = [0, 0, 1]  # node 2 carries DELETE_MARK
+        for i in range(3):
+            row = links0[i] + [0] * (max_m0 - len(links0[i]))
+            buf += struct.pack("<HH", len(links0[i]), flags[i])
+            buf += struct.pack(f"<{max_m0}I", *row)
+            buf += struct.pack("<2f", *vecs[i])
+            buf += struct.pack("<q", 100 + i)  # label
+        # per-node linkListSize + upper blocks ([u16 cnt, u16 pad, maxM ids])
+        buf += struct.pack("<I", 4 + max_m * 4)      # node 0: one level
+        buf += struct.pack("<HH", 1, 0) + struct.pack("<2I", 1, 0)
+        buf += struct.pack("<I", 0)                  # node 1
+        buf += struct.pack("<I", 0)                  # node 2
+        p = str(tmp_path / "foreign.bin")
+        with open(p, "wb") as f:
+            f.write(buf)
+
+        from hnsw_nsg_tpu.utils.hnswlib_format import read_hnswlib_index
+        z = read_hnswlib_index(p)
+        np.testing.assert_allclose(z["data"], np.asarray(vecs, np.float32))
+        np.testing.assert_array_equal(z["labels"], [100, 101, 102])
+        np.testing.assert_array_equal(z["levels"], [1, 0, 0])
+        np.testing.assert_array_equal(
+            z["adj0"], [[1, 2, -1, -1], [0, -1, -1, -1], [0, 1, -1, -1]]
+        )
+        np.testing.assert_array_equal(z["adj_up"][0], [[1, -1], [-1, -1],
+                                                       [-1, -1]])
+        np.testing.assert_array_equal(z["deleted"], [False, False, True])
+        assert z["enterpoint"] == 0 and z["maxlevel"] == 1 and z["M"] == m
+
+        # and the full engine loads + searches it through the API layer
+        from hnsw_nsg_tpu import api
+        idx = api.Index(space="l2", dim=2)
+        idx.load_index(p)
+        labels, dists = idx.knn_query(np.array([[1.0, 2.0]]), k=2, ef=4)
+        assert labels[0, 0] == 100  # exact hit; node 102 is deleted
+        assert 102 not in labels[0]
+        np.testing.assert_allclose(dists[0, 0], 0.0, atol=1e-6)
