@@ -2,18 +2,34 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Protocol (north star, BASELINE.md): build an index over N=1M 128-d vectors
+Protocol (north star, BASELINE.md): build an INDEX over N 128-d vectors
 (SIFT-like synthetic: clustered Gaussian, deterministic seed), compute exact
-ground truth on-device, sweep the routing knob until recall@10 >= 0.95, and
-report sustained query throughput at that operating point on one TPU chip.
+ground truth on-device, sweep the engine's routing knob until
+recall@10 >= 0.95, and report sustained query throughput at that operating
+point on one TPU chip, together with index memory accounting against the
+reference's rule (hnswlib/ALGO_PARAMS.md:17-18: ~M*8-10 B/element + vector
+bytes).
 
 vs_baseline divides by 5000 QPS — a representative single-core hnswlib
 figure at recall@10 ~= 0.95 on SIFT1M (the reference publishes no number of
 its own, SURVEY.md §6; 3-6k QPS is the commonly reproduced range for M=16
 ef~=100 on one modern core). The driver-defined target is vs_baseline >= 10.
 
-Env knobs: BENCH_N (default 1_000_000), BENCH_Q (2048), BENCH_CLUSTERS,
-BENCH_ENGINE ("cnns_flat" | "cnns_nsg" | "hnsw"), BENCH_VERBOSE=1.
+Engines (BENCH_ENGINE):
+  cnns_flat  (default) — the CNNS cluster pipeline with exact per-cluster
+             scans; the reference's own core design, and the TPU-fastest
+             *index* (routing GEMM + dense probed-slab scans on the MXU).
+  cnns_nsg   — CNNS with per-cluster NSG graphs.
+  hnsw       — HierarchicalNSW with the packed int8 record layout
+             (models/records.py). Graph traversal on TPU is bound by the
+             ~0.75us/row data-dependent gather floor (PROGRESS.md "gather
+             physics"), so this engine exists for parity, not the headline.
+  brute      — BruteforceSearch at MXU speed-of-light (secondary line; it
+             has no index structure, so it is not the headline).
+
+Env knobs: BENCH_N (default 1_000_000), BENCH_Q (8192), BENCH_CLUSTERS,
+BENCH_ENGINE, BENCH_CONFIG (sift1m | gist1m | glove | deep10m),
+BENCH_SLAB (bf16 | f32, cnns_flat only), BENCH_VERBOSE=1.
 """
 
 import json
@@ -33,14 +49,22 @@ BASELINE_QPS = 5000.0
 K = 10
 TARGET_RECALL = 0.95
 
+# dataset-shaped synthetic configs (real sets are not in the image;
+# dims/metric/N match BASELINE.md's named benchmarks)
+CONFIGS = {
+    "sift1m": dict(n=1_000_000, d=128, metric="l2"),
+    "gist1m": dict(n=1_000_000, d=960, metric="l2"),
+    "glove": dict(n=1_183_514, d=100, metric="ip"),
+    "deep10m": dict(n=10_000_000, d=96, metric="l2"),
+}
+
 
 def log(msg):
     if os.environ.get("BENCH_VERBOSE"):
         print(msg, file=sys.stderr, flush=True)
 
 
-def make_data(n, d, q, seed=0):
-    """SIFT-like synthetic: clustered, 128-d, f32."""
+def make_data(n, d, q, metric, seed=0):
     rng = np.random.default_rng(seed)
     n_centers = max(n // 2500, 8)
     centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 2.0
@@ -48,63 +72,72 @@ def make_data(n, d, q, seed=0):
     x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
     qa = rng.integers(0, n_centers, q)
     queries = centers[qa] + rng.standard_normal((q, d)).astype(np.float32)
+    if metric == "ip":
+        # GloVe-style: normalized vectors, inner-product ranking
+        x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-9
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True) + 1e-9
     return x.astype(np.float32), queries.astype(np.float32)
 
 
+def hnsw_memory_rule(n, d, m=16):
+    """Reference index-memory rule: M*8-10 B/elem + vector bytes
+    (hnswlib/ALGO_PARAMS.md:17-18). Returns the 10B/link upper figure."""
+    return n * (m * 10 + d * 4)
+
+
 def main():
+    import jax
     import jax.numpy as jnp
     from hnsw_nsg_tpu.ops import (
         brute_force_topk, brute_force_topk_approx, recall, squared_norms,
     )
-    from hnsw_nsg_tpu.models.cnns import build_cnns
-    from hnsw_nsg_tpu.utils.params import CNNSConfig
 
-    n = int(os.environ.get("BENCH_N", 1_000_000))
-    nq = int(os.environ.get("BENCH_Q", 2048))
-    d = 128
-    engine = os.environ.get("BENCH_ENGINE", "brute")
+    cfg_name = os.environ.get("BENCH_CONFIG", "sift1m")
+    if cfg_name not in CONFIGS:
+        raise SystemExit(f"unknown BENCH_CONFIG {cfg_name!r}")
+    cfg = CONFIGS[cfg_name]
+    n = int(os.environ.get("BENCH_N", cfg["n"]))
+    d = cfg["d"]
+    metric = cfg["metric"]
+    nq = int(os.environ.get("BENCH_Q", 8192))
+    engine = os.environ.get("BENCH_ENGINE", "cnns_flat")
+    if engine not in ("cnns_flat", "cnns_nsg", "hnsw", "brute"):
+        raise SystemExit(f"unknown BENCH_ENGINE {engine!r}")
     n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 2048, 8)))
 
     t0 = time.time()
-    x, queries = make_data(n, d, nq)
-    log(f"data: {n}x{d}, {nq} queries ({time.time() - t0:.1f}s)")
+    x, queries = make_data(n, d, nq, metric)
+    log(f"data: {n}x{d} {metric}, {nq} queries ({time.time() - t0:.1f}s)")
 
     t0 = time.time()
     xd = jnp.asarray(x)
     qd = jnp.asarray(queries)
-    _, gt = brute_force_topk(qd, xd, K)
+    _, gt = brute_force_topk(qd, xd, K, metric=metric)
     gt = np.asarray(gt)
     log(f"ground truth ({time.time() - t0:.1f}s)")
 
-    if engine == "brute":
-        # the BruteforceSearch engine at MXU speed-of-light: dense bf16
-        # GEMM + TPU-native approximate top-k
-        t0 = time.time()
-        norms = squared_norms(xd)
-        build_s = time.time() - t0
-    else:
-        t0 = time.time()
-        local = "nsg" if engine == "cnns_nsg" else "flat"
-        idx = build_cnns(
-            x,
-            CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12),
-            local_index=local,
-        )
-        build_s = time.time() - t0
-        log(f"build ({engine}, {n_clusters} clusters): {build_s:.1f}s")
-
+    raw_bytes = n * d * 4
+    ref_rule = hnsw_memory_rule(n, d)
     best = None
+    index_bytes = 0
+
     if engine == "brute":
+        del xd
+        t0 = time.time()
+        xb = jnp.asarray(x)
+        norms = squared_norms(xb)
+        build_s = time.time() - t0
+        index_bytes = norms.size * 4
         for rt in (0.95, 0.99, 0.9995):
             dd, ii = brute_force_topk_approx(
-                qd, xd, K, x_norms=norms, recall_target=rt
+                qd, xb, K, x_norms=norms, recall_target=rt
             )
             r = recall(np.asarray(ii), gt)
             t0 = time.time()
             reps = 5
             for _ in range(reps):
                 dd, ii = brute_force_topk_approx(
-                    qd, xd, K, x_norms=norms, recall_target=rt
+                    qd, xb, K, x_norms=norms, recall_target=rt
                 )
             np.asarray(ii)
             qps = nq * reps / (time.time() - t0)
@@ -112,7 +145,67 @@ def main():
             best = (f"bf16+approx_top_k(rt={rt})", r, qps)
             if r >= TARGET_RECALL + 0.02:
                 break
+
+    elif engine == "hnsw":
+        from hnsw_nsg_tpu.models.hnsw import HNSWIndex
+        from hnsw_nsg_tpu.utils.params import HNSWConfig
+
+        del xd
+        t0 = time.time()
+        idx = HNSWIndex(d, n, HNSWConfig(M=16, ef_construction=100), metric)
+        idx.add_items(x, batch_size=4096)
+        idx.build_accel()
+        build_s = time.time() - t0
+        log(f"hnsw build+records: {build_s:.0f}s")
+        index_bytes = (
+            idx.adj0.size * 4
+            + sum(a.size * 4 for a in idx.adj_up)
+            + idx._records.nbytes()
+            + idx.data.size * idx.data.dtype.itemsize
+        )
+        for ef in (32, 64, 128, 256):
+            labels, _ = idx.knn_query(queries, k=K, ef=ef)
+            r = recall(labels, gt)
+            t0 = time.time()
+            reps = 2
+            for _ in range(reps):
+                labels, _ = idx.knn_query(queries, k=K, ef=ef)
+            qps = nq * reps / (time.time() - t0)
+            log(f"hnsw ef={ef}: recall@10={r:.4f} qps={qps:.0f}")
+            best = (f"ef={ef}", r, qps)
+            if r >= TARGET_RECALL:
+                break
+
     else:
+        import dataclasses
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        del xd
+        t0 = time.time()
+        local = "nsg" if engine == "cnns_nsg" else "flat"
+        idx = build_cnns(
+            x,
+            CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12),
+            metric=metric,
+            local_index=local,
+        )
+        if engine == "cnns_flat" and os.environ.get(
+            "BENCH_SLAB", "bf16"
+        ) == "bf16":
+            idx = dataclasses.replace(
+                idx, data_c=idx.data_c.astype(jnp.bfloat16),
+                cnorms_c=idx.cnorms_c,
+            )
+        build_s = time.time() - t0
+        log(f"build ({engine}, {n_clusters} clusters, maxc={idx.maxc}): "
+            f"{build_s:.1f}s")
+        index_bytes = (
+            idx.data_c.size * idx.data_c.dtype.itemsize
+            + idx.reps.size * 4 + idx.ids_c.size * 4
+            + (idx.cnorms_c.size * 4 if idx.cnorms_c is not None else 0)
+            + (idx.flat_adj.size * 4 if idx.flat_adj is not None else 0)
+        )
         nprobe = 2
         while nprobe <= idx.n_clusters:
             dd, ii = idx.search(queries, k=K, nprobe=nprobe)
@@ -130,11 +223,16 @@ def main():
             nprobe *= 2
 
     setting, r, qps = best
+    log(f"index bytes: {index_bytes / 1e9:.2f} GB "
+        f"(raw vectors {raw_bytes / 1e9:.2f} GB, "
+        f"reference HNSW rule {ref_rule / 1e9:.2f} GB)")
     print(json.dumps({
         "metric": (
             f"QPS at recall@10>={TARGET_RECALL} (measured {r:.3f}), "
-            f"N={n} d={d} clustered-synthetic, engine={engine} "
-            f"{setting}, build_s={build_s:.0f}, 1 TPU chip"
+            f"{cfg_name} N={n} d={d} {metric} clustered-synthetic, "
+            f"engine={engine} {setting}, build_s={build_s:.0f}, "
+            f"index_gb={index_bytes / 1e9:.2f} "
+            f"(ref_hnsw_rule_gb={ref_rule / 1e9:.2f}), 1 TPU chip"
         ),
         "value": round(qps, 1),
         "unit": "qps",

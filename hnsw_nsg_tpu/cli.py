@@ -220,6 +220,62 @@ def cmd_search_hnsw(args):
         print(f"{ef}\t{r:.4f}\t{dt / len(queries) * 1e6:.1f}")
 
 
+def cmd_build_hybrid(args):
+    """Build the hybrid HNSW-upper/NSG-base index (the reference's
+    sift_test1M build phase, hnsw_nsg/tests/test_hnsw_nsg_search.cpp:
+    271-347: parallel addPoint with M/efC, then Build_NSG with L/R/C,
+    optionally seeded from a prebuilt kNN graph file)."""
+    from .models.hybrid import HybridHNSWNSG
+    from .utils.metrics import device_memory_stats
+
+    data = _load_vectors(args.data)
+    hyb = HybridHNSWNSG(
+        data.shape[1], len(data),
+        hnsw_cfg=HNSWConfig(M=args.M, ef_construction=args.efc),
+        nsg_cfg=NSGBuildConfig(L=args.L, R=args.R, C=args.C),
+    )
+    t0 = time.time()
+    hyb.add_points(data, batch_size=args.batch)
+    t_hnsw = time.time() - t0
+    print(f"hnsw insert: {t_hnsw:.1f}s "
+          f"({len(data) / max(t_hnsw, 1e-9):.0f} pts/s)")
+    knn = None
+    if args.knn_graph:
+        knn = io.read_knn_graph(args.knn_graph)
+    t0 = time.time()
+    hyb.build_nsg_layer(knn_adj=knn)
+    print(f"nsg build: {time.time() - t0:.1f}s")
+    hyb.save(args.out)
+    stats = device_memory_stats()
+    if stats:
+        print(f"hbm bytes in use: {stats.get('bytes_in_use', -1)}")
+
+
+def cmd_search_hybrid(args):
+    """Recall/latency sweep over search_L (the reference's test_vs_recall
+    table, test_hnsw_nsg_search.cpp:199-229)."""
+    from .models.hybrid import HybridHNSWNSG
+    from .ops.bruteforce import recall as recall_fn
+
+    hyb = HybridHNSWNSG.load(args.index)
+    queries = _load_vectors(args.queries)
+    gt = io.read_gt(args.gt) if args.gt else None
+    print("search_L\trecall@k\tus/query")
+    rows = []
+    for sl in [int(e) for e in args.search_ls.split(",")]:
+        hyb.search_knn(queries[:8], k=args.k, l_search=sl)  # warm
+        t0 = time.time()
+        labels, _ = hyb.search_knn(queries, k=args.k, l_search=sl)
+        dt = time.time() - t0
+        r = recall_fn(labels, gt[:, : args.k]) if gt is not None else -1
+        rows.append((sl, r, dt / len(queries) * 1e6))
+        print(f"{sl}\t{r:.4f}\t{dt / len(queries) * 1e6:.1f}")
+    if args.result:
+        with open(args.result, "w") as f:
+            json.dump([{"search_L": a, "recall": b, "us_per_query": c}
+                       for a, b, c in rows], f)
+
+
 def cmd_convert(args):
     src, dst = args.src, args.dst
     x = _load_vectors(src) if not src.endswith(".tsv") else io.read_tsv(src)
@@ -300,6 +356,30 @@ def main(argv=None):
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--efs", default="10,20,40,80,160,320")
     s.set_defaults(fn=cmd_search_hnsw)
+
+    # argv mirrors test_hnsw_nsg_search.cpp:369-395:
+    # <nn_graph_path> <L> <R> <C> <save_graph_file> <search_L> <search_K>
+    s = sub.add_parser("build-hybrid")
+    s.add_argument("data")
+    s.add_argument("out", help="prefix; writes <out>_hnsw.npz + <out>_nsg.npz")
+    s.add_argument("--M", type=int, default=16)
+    s.add_argument("--efc", type=int, default=40)
+    s.add_argument("--L", type=int, default=40)
+    s.add_argument("--R", type=int, default=20, help="nsg width")
+    s.add_argument("--C", type=int, default=500)
+    s.add_argument("--knn-graph", help="prebuilt efanna kNN graph file")
+    s.add_argument("--batch", type=int, default=4096)
+    s.set_defaults(fn=cmd_build_hybrid)
+
+    s = sub.add_parser("search-hybrid")
+    s.add_argument("index", help="prefix used at build-hybrid")
+    s.add_argument("queries")
+    s.add_argument("--gt")
+    s.add_argument("--k", type=int, default=100)
+    s.add_argument("--search-ls", default="100,150,200,300,500",
+                   dest="search_ls")
+    s.add_argument("--result", help="write the sweep table as JSON")
+    s.set_defaults(fn=cmd_search_hybrid)
 
     s = sub.add_parser("convert")
     s.add_argument("src")

@@ -229,6 +229,87 @@ def beam_search_collect(
     return BeamResult(r_d, r_i, hops, evals), p_i, p_d
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "metric", "max_hops", "expand"),
+)
+def beam_search_filtered(
+    queries: jax.Array,
+    data: jax.Array,
+    norms: jax.Array,
+    adj: jax.Array,
+    init_ids: jax.Array,
+    width: int,
+    accept: jax.Array,
+    metric: str = "l2",
+    max_hops: int = 512,
+    expand: int = 1,
+) -> BeamResult:
+    """beam_search with *in-traversal* filtering.
+
+    ``accept``: bool [N] — nodes allowed in results (filter functor pass +
+    not deleted). Rejected nodes are still traversed (their edges are
+    followed) but never enter the result pool, and — the part the post-hoc
+    mask cannot do — exploration continues until ``width`` *accepted*
+    results exist or the frontier is exhausted. This matches the
+    reference's searchBaseLayerST<false> (hnswalg.h:309-440): candidates
+    enter the candidate heap whenever ``dist < lowerBound or results not
+    full`` (:397-404), results only if they pass filter+deleted checks
+    (:406-425), and the loop breaks when the best candidate is worse than
+    the full result heap's lower bound (:375-380).
+
+    Returns the ACCEPTED result pool (dists FastL2-form for l2, ids
+    PAD-padded). hops/evals count as in beam_search.
+    """
+    qn = queries.shape[0]
+    init_d = gathered_dists(queries, data, init_ids, metric, norms)
+    r_d, r_i, r_e = init_retset(init_d, init_ids, width)
+
+    acc = jnp.asarray(accept, jnp.bool_)
+
+    def accepted_only(d, i):
+        ok = acc[jnp.where(i >= 0, i, 0)] & (i >= 0)
+        return jnp.where(ok, d, PAD_DIST), jnp.where(ok, i, PAD_ID)
+
+    p_d, p_i, _ = init_retset(*accepted_only(init_d, init_ids), width)
+    p_e = jnp.zeros_like(p_i, dtype=jnp.bool_)
+
+    hops = jnp.zeros((qn,), jnp.int32)
+    evals = jnp.sum(init_ids >= 0, axis=1).astype(jnp.int32)
+
+    def cond(state):
+        r_d, r_i, r_e, p_d, it, hops, evals, p_i = state
+        # a query is live while it has an unexpanded candidate closer than
+        # the accepted pool's lower bound (PAD_DIST while the pool is not
+        # full -> keep exploring, hnswalg.h:375-380 with bare_bone=false)
+        bound = p_d[:, -1]
+        live = jnp.any(~r_e & (r_d < bound[:, None]), axis=1)
+        return jnp.any(live) & (it < max_hops)
+
+    def body(state):
+        r_d, r_i, r_e, p_d, it, hops, evals, p_i = state
+        bound = p_d[:, -1]
+        # kill frontier slots at/beyond the bound before selection
+        r_e = r_e | (r_d >= bound[:, None])
+        sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+        nbrs = jnp.take(adj, jnp.where(sel_ids >= 0, sel_ids, 0), axis=0)
+        nbrs = jnp.where(sel_valid[:, :, None], nbrs, PAD_ID)
+        nbrs = nbrs.reshape(qn, -1)
+        cd = gathered_dists(queries, data, nbrs, metric, norms)
+        r_d, r_i, r_e = merge_into_retset(r_d, r_i, r_e, cd, nbrs)
+        ad, ai = accepted_only(cd, nbrs)
+        p_d, p_i, _ = merge_into_retset(p_d, p_i, p_e, ad, ai)
+        hops = hops + jnp.sum(sel_valid, axis=1).astype(jnp.int32)
+        evals = evals + jnp.sum(nbrs >= 0, axis=1).astype(jnp.int32)
+        return r_d, r_i, r_e, p_d, it + 1, hops, evals, p_i
+
+    state = (r_d, r_i, r_e, p_d, jnp.int32(0), hops, evals, p_i)
+    r_d, r_i, r_e, p_d, _, hops, evals, p_i = jax.lax.while_loop(
+        cond, body, state
+    )
+    return BeamResult(p_d, p_i, hops, evals)
+
+
 def random_fill_ids(key, n: int, shape, forbid=None):
     """Uniform random node ids, the reference's random init fill
     (index_nsg.cpp:522-528). forbid: optional [Q, F] ids to avoid exactly

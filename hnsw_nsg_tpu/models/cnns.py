@@ -96,14 +96,19 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric):
     qf = q.astype(jnp.float32)
     qn = squared_norms(qf) if metric == "l2" else jnp.zeros((nq,))
 
+    qc = qf.astype(data_c.dtype)
+
     def slot_fn(carry, cid):
         best_d, best_i = carry
         ok = cid >= 0
         safe = jnp.where(ok, cid, 0)
         xc = jnp.take(data_c, safe, axis=0)        # [Q, maxc, d]
         ic = jnp.take(ids_c, safe, axis=0)         # [Q, maxc]
+        # dots in the slab dtype: with bf16 slabs the gather moves half the
+        # bytes (the probe-slot gather is the whole cost of this search) and
+        # the MXU runs at full rate; norms stay exact f32 (FastL2)
         dots = jnp.einsum(
-            "qd,qmd->qm", qf, xc.astype(jnp.float32),
+            "qd,qmd->qm", qc, xc,
             preferred_element_type=jnp.float32,
         )
         if metric in ("ip", "cosine"):
@@ -141,6 +146,7 @@ class CNNSIndex:
 
     def __post_init__(self):
         if self.cnorms_c is None and self.metric == "l2":
+            # squared_norms upcasts, so bf16 slabs still get f32 norms
             self.cnorms_c = squared_norms(self.data_c)
 
     @property
@@ -215,10 +221,14 @@ class CNNSIndex:
     # -- persistence -------------------------------------------------------
 
     def save(self, path: str) -> None:
+        d_np = np.asarray(self.data_c)
+        if d_np.dtype.name == "bfloat16":  # npz has no bf16: store raw bits
+            d_np = d_np.view(np.uint16)
         np.savez(
             path,
+            slab_dtype=self.data_c.dtype.name,
             reps=np.asarray(self.reps),
-            data_c=np.asarray(self.data_c),
+            data_c=d_np,
             ids_c=np.asarray(self.ids_c),
             sizes=self.sizes,
             metric=self.metric,
@@ -233,9 +243,12 @@ class CNNSIndex:
     def load(cls, path: str) -> "CNNSIndex":
         z = np.load(path, allow_pickle=False)
         flat_adj = z["flat_adj"]
+        d_np = z["data_c"]
+        if "slab_dtype" in z and str(z["slab_dtype"]) == "bfloat16":
+            d_np = jnp.asarray(d_np).view(jnp.bfloat16)
         return cls(
             reps=jnp.asarray(z["reps"]),
-            data_c=jnp.asarray(z["data_c"]),
+            data_c=jnp.asarray(d_np),
             ids_c=jnp.asarray(z["ids_c"]),
             sizes=z["sizes"],
             metric=str(z["metric"]),
@@ -252,8 +265,15 @@ def build_cnns(
     local_index: str = "flat",
     seed: int = 0,
     verbose: bool = False,
+    slab_dtype=None,
 ) -> CNNSIndex:
-    """Build the full CNNS pipeline (both reference build stages)."""
+    """Build the full CNNS pipeline (both reference build stages).
+
+    slab_dtype: dtype of the probed cluster slabs. f32 default = exact
+    scans (the reference's flat search semantics). bf16 halves the bytes
+    the probe-slot gather moves — the entire cost of flat search — for
+    ~2x QPS; ranking then carries bf16 rounding (norms stay f32), so it
+    is the benchmark/production mode, gated on measured recall."""
     data = jnp.asarray(data)
     n, d = data.shape
     rng = np.random.default_rng(seed)
@@ -332,13 +352,17 @@ def build_cnns(
                 print(f"cluster {ci + 1}/{c}: NSG built over {sz} points")
         flat_adj = jnp.asarray(flat_adj_np)
 
+    if slab_dtype is None:
+        slab_dtype = jnp.float32
+    cnorms = squared_norms(jnp.asarray(data_c)) if metric == "l2" else None
     return CNNSIndex(
         reps=jnp.asarray(reps),
-        data_c=jnp.asarray(data_c),
+        data_c=jnp.asarray(data_c).astype(slab_dtype),
         ids_c=jnp.asarray(ids_c),
         sizes=sizes,
         metric=metric,
         local_index=local_index,
         flat_adj=flat_adj,
         eps_flat=eps_flat,
+        cnorms_c=cnorms,
     )

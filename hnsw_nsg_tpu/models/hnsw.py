@@ -45,7 +45,7 @@ from ..ops.distance import (
 )
 from ..ops.topk import topk_smallest
 from ..utils.params import HNSWConfig
-from .beam import beam_search, greedy_descent
+from .beam import beam_search, beam_search_filtered, greedy_descent
 from .prune import occlusion_prune_padded
 
 _BIG = np.float32(3.4e37)
@@ -91,6 +91,9 @@ class HNSWIndex:
         self.label_to_id: dict[int, int] = {}
 
         self._rng = np.random.default_rng(cfg.random_seed)
+        # derived int8 record layout for accelerated level-0 search
+        # (models/records.py); rebuilt on demand, invalidated by mutation
+        self._records = None
         # search metrics (metric_hops / metric_distance_computations,
         # hnswalg.h:65-66)
         self.metric_hops = 0
@@ -171,6 +174,7 @@ class HNSWIndex:
         index_nsg.cpp:712-747). Returns the number of edges added."""
         if self.n <= 1:
             return 0
+        self._records = None
         adj0 = np.array(self.adj0[: self.n])
         cap0 = 2 * self.cfg.M
 
@@ -217,6 +221,7 @@ class HNSWIndex:
 
     def _insert_batch(self, x: np.ndarray, labels: np.ndarray,
                       pad_to: int | None = None) -> None:
+        self._records = None
         cfg = self.cfg
         b_real = x.shape[0]
         # pad the batch to a fixed bucket so every insert compiles the same
@@ -447,6 +452,25 @@ class HNSWIndex:
     # ------------------------------------------------------------------
     # search
 
+    def build_accel(self, max_degree: int = 30) -> None:
+        """Derive the packed int8 record layout for level-0 traversal
+        (models/records.py — the OptimizeGraph analogue). One frontier
+        expansion then costs one row gather instead of ~2M of them; with
+        max_degree=30 and d<=128 a record is a single 4 KB row. Rebuild
+        after mutations (add/replace invalidate it automatically)."""
+        from .records import build_record_graph
+
+        deg = min(max_degree, self.adj0.shape[1])
+        # adjacency rows are ascending by distance (occlusion prune +
+        # sorted reverse merge), so the first `deg` columns are the
+        # closest neighbors
+        self._records = build_record_graph(
+            self.data, self.adj0[:, :deg], self.norms
+        )
+
+    def clear_accel(self) -> None:
+        self._records = None
+
     def knn_query(
         self,
         queries,
@@ -475,27 +499,61 @@ class HNSWIndex:
                 q, self.data, self.norms, self.adj_up[lvl - 1], cur,
                 metric=self.metric,
             )
-        # widen ef when deletions/filters will eat result slots
-        frac_dead = self.num_deleted / max(self.n, 1)
-        ef_eff = ef if frac_dead == 0 and filter_ids is None else min(
-            int(ef * (1 + 2 * frac_dead)) + (0 if filter_ids is None else ef),
-            max(self.n, ef),
-        )
-        res = beam_search(
-            q, self.data, self.norms, self.adj0, cur[:, None],
-            width=ef_eff, metric=self.metric, expand=expand,
-        )
+        if self.num_deleted == 0 and filter_ids is None:
+            if self._records is not None:
+                from .inline_graph import rerank_exact
+                from .records import beam_search_records
+
+                res = beam_search_records(
+                    q, self.data, self.norms, self._records,
+                    cur[:, None], width=ef, metric=self.metric,
+                    expand=expand,
+                )
+                # int8 traversal can misorder near-ties: re-rank the head
+                # of the retset exactly (f32 rows are ~0.1 us/row to
+                # gather vs ~0.75 us for record rows — affordable at k+pad)
+                head = min(ef, k + 16)
+                self.metric_hops += int(jnp.sum(res.hops))
+                self.metric_distance_computations += int(jnp.sum(res.evals))
+                d, i = rerank_exact(
+                    q, self.data, self.norms, res.ids[:, :head], k,
+                    metric=self.metric,
+                )
+                i_np = np.asarray(i)
+                labels = np.where(
+                    i_np >= 0, self.labels[np.clip(i_np, 0, None)], -1
+                )
+                return labels, np.asarray(d)
+            res = beam_search(
+                q, self.data, self.norms, self.adj0, cur[:, None],
+                width=ef, metric=self.metric, expand=expand,
+            )
+            d, i = res.dists, res.ids
+        else:
+            # in-traversal filtering: rejected nodes stay traversable but
+            # never fill result slots, and the search keeps exploring until
+            # ef *accepted* results exist (searchBaseLayerST filter/deleted
+            # handling, hnswalg.h:397-425). The retset width is still the
+            # exploration budget, so widen it with the rejected fraction.
+            accept = ~self.deleted
+            if filter_ids is not None:
+                accept = accept & np.asarray(filter_ids, bool)[: len(accept)]
+            frac_rej = 1.0 - accept[: self.n].sum() / max(self.n, 1)
+            ef_eff = min(
+                int(ef * (1.0 + 3.0 * frac_rej)) + (
+                    0 if filter_ids is None else ef
+                ),
+                max(self.n, ef),
+            )
+            res = beam_search_filtered(
+                q, self.data, self.norms, self.adj0, cur[:, None],
+                width=ef_eff, accept=jnp.asarray(accept),
+                metric=self.metric, expand=expand,
+            )
+            d, i = res.dists, res.ids
         self.metric_hops += int(jnp.sum(res.hops))
         self.metric_distance_computations += int(jnp.sum(res.evals))
-
-        d, i = res.dists, res.ids
-        drop = jnp.asarray(self.deleted)[jnp.where(i >= 0, i, 0)] & (i >= 0)
-        if filter_ids is not None:
-            drop = drop | (
-                ~jnp.asarray(filter_ids)[jnp.where(i >= 0, i, 0)] & (i >= 0)
-            )
-        d = jnp.where(drop | (i < 0), PAD_DIST, d)
-        i = jnp.where(drop, PAD_ID, i)
+        d = jnp.where(i < 0, PAD_DIST, d)
         d, i = topk_smallest(d, i, k)
         if self.metric == "l2":
             d = d + squared_norms(q)[:, None]
@@ -523,12 +581,23 @@ class HNSWIndex:
 
     def replace_point(self, slot: int, vec, label: int) -> None:
         """Reuse a (deleted) slot for a new point: update the vector in
-        place and rebuild the slot's out-links at its existing levels — the
-        updatePoint / repairConnectionsForUpdate analogue
-        (hnswalg.h:995-1139). Stale in-links to the slot now simply point at
-        the new vector, which is the node's new identity."""
+        place, rebuild the slot's out-links at its existing levels, and
+        repair the in-links of its former neighborhood — the updatePoint /
+        repairConnectionsForUpdate analogue (hnswalg.h:995-1139). Without
+        the repair, the old neighborhood keeps edges whose distances were
+        chosen for the *old* vector; under churn those stale edges degrade
+        recall (the regression bindings_test_replace.py:155 guards)."""
+        self._records = None
         cfg = self.cfg
         x = jnp.asarray(np.asarray(vec, np.float32)[None])
+        # capture the old neighborhoods BEFORE the vector changes: these
+        # nodes' link choices referenced the old point (updatePoint's sCand
+        # set, hnswalg.h:1000-1032)
+        node_level = int(self.levels[slot])
+        old_nbrs = {
+            lvl: np.asarray(self._adj_at(lvl)[slot])
+            for lvl in range(0, node_level + 1)
+        }
         self.data = self.data.at[slot].set(x[0])
         self.norms = self.norms.at[slot].set(squared_norms(x)[0])
         if self.deleted[slot]:
@@ -537,7 +606,6 @@ class HNSWIndex:
         self.labels[slot] = label
         self.label_to_id[int(label)] = slot
 
-        node_level = int(self.levels[slot])
         cur = jnp.full((1,), self.ep, jnp.int32)
         sid = jnp.asarray([slot], jnp.int32)
         for lvl in range(self.max_level, -1, -1):
@@ -564,6 +632,56 @@ class HNSWIndex:
                 lvl, np.array([slot], np.int32),
                 np.asarray(kept_i), np.asarray(kept_d),
             )
+            self._repair_in_links(lvl, old_nbrs[lvl], slot)
+
+    def _repair_in_links(self, lvl: int, nbr_ids: np.ndarray,
+                         slot: int) -> None:
+        """Re-select the out-links of the nodes that used to neighbor
+        ``slot`` (repairConnectionsForUpdate, hnswalg.h:1074-1139).
+
+        Each such node u re-runs the occlusion rule over a pool of its
+        current links plus the old neighborhood (each other and the moved
+        node) with distances recomputed against the *new* vector store, so
+        edges kept for the old vector are re-justified or replaced."""
+        nbrs = np.unique(nbr_ids[nbr_ids >= 0])
+        if len(nbrs) == 0:
+            return
+        cap_deg = 2 * self.cfg.M if lvl == 0 else self.cfg.M
+        adj_l = self._adj_at(lvl)
+        bucket = 64
+        while bucket < len(nbrs):
+            bucket *= 2
+        rows_np = np.full(bucket, -1, np.int64)
+        rows_np[: len(nbrs)] = nbrs
+        live = jnp.asarray(rows_np >= 0)
+        rows_j = jnp.asarray(np.where(rows_np >= 0, rows_np, 0))
+        vecs = jnp.take(self.data, rows_j, axis=0)
+        exist = jnp.take(adj_l, rows_j, axis=0)[:, :cap_deg]
+        # candidate pool: current links + the old neighborhood + slot
+        extra_np = np.concatenate([nbrs, [slot]]).astype(np.int32)
+        pad = -(-len(extra_np) // 8) * 8
+        extra_np = np.pad(extra_np, (0, pad - len(extra_np)),
+                          constant_values=PAD_ID)
+        extra = jnp.broadcast_to(
+            jnp.asarray(extra_np)[None, :], (bucket, pad)
+        )
+        pool_i = jnp.concatenate([exist, extra], axis=1)
+        pool_i = jnp.where(live[:, None], pool_i, PAD_ID)
+        pool_d = gathered_dists(
+            vecs, self.data, pool_i, self.metric, self.norms, exact=True
+        )
+        kept_i, _ = occlusion_prune_padded(
+            vecs, pool_i, pool_d, self.data, self.norms,
+            max_keep=cap_deg, metric=self.metric, self_ids=rows_j,
+        )
+        w = adj_l.shape[1]
+        if w > cap_deg:
+            kept_i = jnp.concatenate(
+                [kept_i, jnp.full((bucket, w - cap_deg), PAD_ID, jnp.int32)],
+                axis=1,
+            )
+        write_rows = jnp.where(live, rows_j, self.cap)
+        self._set_adj(lvl, adj_l.at[write_rows].set(kept_i, mode="drop"))
 
     def resize_index(self, new_cap: int) -> None:
         """resizeIndex (hnswalg.h:633-656)."""

@@ -173,6 +173,155 @@ class ShardedGraphIndex:
         return run(q, self.data, self.norms, self.adj, self.eps)
 
 
+@dataclasses.dataclass
+class ShardedCNNSIndex:
+    """Cluster-sharded CNNS with ROUTED probing: the production mesh
+    layout (SURVEY.md §2.9 "exactly the shape to lift").
+
+    Clusters are dealt round-robin across the mesh axis (cluster c lives on
+    shard ``c % S``; trailing empty clusters pad C to a multiple of S, which
+    also absorbs unequal cluster sizes). Routing runs replicated — the
+    representative table is tiny — and each shard then scans ONLY the
+    probed clusters it owns: a query's nprobe probes hit a given shard
+    ~Binomial(nprobe, 1/S) times, so each shard compacts its owned probes
+    into ``slots = ceil(nprobe/S)+1`` scan slots (overflow beyond that is
+    dropped — rare and recall-neutral, like the reference's early-stop
+    skipping low-ranked clusters, cluster_hnsw_nsg_search.cpp:237-251).
+    Per-shard work is therefore ~nprobe/S of the single-device scan instead
+    of nprobe on every shard; the global merge is one [Q, k] all-gather +
+    top-k over ICI. search() also returns per-shard distance-eval counts so
+    selectivity is observable (metric_distance_computations analogue).
+    """
+
+    mesh: Mesh
+    reps: jax.Array      # [C_pad, m+1, d] replicated
+    data_c: jax.Array    # [C_pad, maxc, d] sharded on clusters
+    ids_c: jax.Array     # [C_pad, maxc] global ids, sharded
+    cnorms_c: jax.Array  # [C_pad, maxc] sharded
+    n_clusters: int      # real cluster count (pre-padding)
+    metric: str = "l2"
+
+    @classmethod
+    def build(cls, mesh: Mesh, idx) -> "ShardedCNNSIndex":
+        """Redistribute a built CNNSIndex (models/cnns.py) over the mesh."""
+        s = mesh.shape[AXIS]
+        c = idx.n_clusters
+        c_pad = -(-c // s) * s
+        reps = np.asarray(idx.reps, np.float32)
+        data_c = np.asarray(idx.data_c, np.float32)
+        ids_c = np.asarray(idx.ids_c)
+        if c_pad != c:
+            pad = c_pad - c
+            reps = np.concatenate(
+                [reps, np.full((pad,) + reps.shape[1:], 1e30, np.float32)]
+            )
+            data_c = np.concatenate(
+                [data_c, np.zeros((pad,) + data_c.shape[1:], np.float32)]
+            )
+            ids_c = np.concatenate(
+                [ids_c, np.full((pad,) + ids_c.shape[1:], PAD_ID,
+                                ids_c.dtype)]
+            )
+        # shard-major order: cluster c sits at row (c % s) * (c_pad//s) +
+        # c // s, so P(AXIS) gives shard m the clusters with c % s == m
+        perm = np.argsort(
+            (np.arange(c_pad) % s) * c_pad + np.arange(c_pad) // s,
+            kind="stable",
+        )
+        ns_c = jax.sharding.NamedSharding(mesh, P(AXIS, None, None))
+        data_cs = jax.device_put(jnp.asarray(data_c[perm]), ns_c)
+        cnorms = jax.device_put(
+            squared_norms(jnp.asarray(data_c[perm])),
+            jax.sharding.NamedSharding(mesh, P(AXIS, None)),
+        )
+        return cls(
+            mesh=mesh,
+            reps=jnp.asarray(reps),
+            data_c=data_cs,
+            ids_c=jax.device_put(
+                jnp.asarray(ids_c[perm]),
+                jax.sharding.NamedSharding(mesh, P(AXIS, None)),
+            ),
+            cnorms_c=cnorms,
+            n_clusters=c,
+            metric=idx.metric,
+        )
+
+    def search(self, queries, k: int, nprobe: int = 4,
+               slots: int | None = None):
+        """Returns (dists [Q, k], global ids [Q, k], evals [S])."""
+        from ..models.cnns import _route_clusters
+
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        s = self.mesh.shape[AXIS]
+        slots = slots or min(nprobe, -(-nprobe // s) + 1)
+        nprobe = min(nprobe, self.n_clusters)
+        visit = _route_clusters(q, self.reps, nprobe, self.metric)
+        visit = jnp.where(visit < self.n_clusters, visit, PAD_ID)
+        metric = self.metric
+        rows_per = self.data_c.shape[0] // s
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(None, None), P(None, None), P(AXIS, None, None),
+                      P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(None, None), P(None, None), P(AXIS)),
+            check_vma=False,
+        )
+        def run(qq, vis, slabs, idsl, nrm):
+            my = jax.lax.axis_index(AXIS)
+            owned = (vis >= 0) & (jax.lax.rem(vis, s) == my)
+            local = jnp.where(owned, vis // s, PAD_ID)
+            # compact owned probes to the front slots (routing-rank order)
+            np_w = vis.shape[1]
+            rank = jax.lax.broadcasted_iota(jnp.int32, vis.shape, 1)
+            key = jnp.where(owned, np_w - rank, -1)
+            _, ord_ = jax.lax.top_k(key, slots)
+            sel = jnp.take_along_axis(local, ord_, axis=1)
+            sel = jnp.where(
+                jnp.take_along_axis(key, ord_, axis=1) >= 0, sel, PAD_ID
+            )
+            qf = qq.astype(jnp.float32)
+            qn = (squared_norms(qf) if metric == "l2"
+                  else jnp.zeros((qf.shape[0],)))
+            qc = qf.astype(slabs.dtype)
+
+            def slot_fn(carry, cid):
+                best_d, best_i, evals = carry
+                ok = cid >= 0
+                safe = jnp.where(ok, cid, 0)
+                xc = jnp.take(slabs, safe, axis=0)
+                ic = jnp.take(idsl, safe, axis=0)
+                dots = jnp.einsum(
+                    "qd,qmd->qm", qc, xc,
+                    preferred_element_type=jnp.float32,
+                )
+                if metric in ("ip", "cosine"):
+                    d = 1.0 - dots
+                else:
+                    d = jnp.take(nrm, safe, axis=0) - 2.0 * dots + qn[:, None]
+                valid = (ic >= 0) & ok[:, None]
+                d = jnp.where(valid, d, PAD_DIST)
+                ic = jnp.where(valid, ic, PAD_ID)
+                evals = evals + jnp.sum(valid)
+                cd = jnp.concatenate([best_d, d], axis=1)
+                ci = jnp.concatenate([best_i, ic], axis=1)
+                bd, bi = topk_smallest(cd, ci, k)
+                return (bd, bi, evals), None
+
+            init = (
+                jnp.full((qf.shape[0], k), PAD_DIST, jnp.float32),
+                jnp.full((qf.shape[0], k), PAD_ID, jnp.int32),
+                jnp.zeros((), jnp.int64),
+            )
+            (ld, li, evals), _ = jax.lax.scan(slot_fn, init, sel.T)
+            gd, gi = _merge_allgather(ld, li, k)
+            return gd, gi, evals[None]
+
+        return run(q, visit, self.data_c, self.ids_c, self.cnorms_c)
+
+
 def sharded_knn_build_step(mesh, data_sharded, k: int):
     """One distributed kNN-graph build step: every device computes the
     exact kNN rows of ITS points against the all-gathered dataset (the

@@ -82,3 +82,22 @@ def test_calculate_recall(workdir, tmp_path, capsys):
           str(workdir / "gt.ivecs"), "--k", "10"])
     out = json.loads(capsys.readouterr().out.strip())
     assert out["recall"] == 1.0
+
+
+def test_hybrid_cli(workdir, capsys, tmp_path):
+    """build-hybrid / search-hybrid e2e (test_hnsw_nsg_search.cpp:369-395
+    argv flow: build with M/efC + NSG L/R/C, then a search_L recall sweep)."""
+    prefix = str(tmp_path / "hyb")
+    main(["build-hybrid", str(workdir / "base.fvecs"), prefix,
+          "--M", "8", "--efc", "40", "--L", "20", "--R", "12", "--C", "60"])
+    assert os.path.exists(prefix + "_hnsw.npz")
+    assert os.path.exists(prefix + "_nsg.npz")
+    capsys.readouterr()
+    result = str(tmp_path / "hyb_sweep.json")
+    main(["search-hybrid", prefix, str(workdir / "query.fvecs"),
+          "--gt", str(workdir / "gt.ivecs"), "--k", "10",
+          "--search-ls", "20,60", "--result", result])
+    out = capsys.readouterr().out
+    assert "search_L" in out
+    rows = json.load(open(result))
+    assert rows[-1]["recall"] >= 0.85, rows

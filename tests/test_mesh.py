@@ -77,3 +77,50 @@ def test_sharded_knn_build(mesh, rng):
     adj = sharded_knn_build_step(mesh, xs, 8)
     gt = np.asarray(knn_graph_exact(x, 8, query_block=1024))
     assert recall(np.asarray(adj), gt) > 0.999
+
+
+class TestShardedCNNS:
+    """Routed probing over the mesh: per-shard work is selective."""
+
+    def test_routed_probing_recall_and_selectivity(self, rng):
+        import jax
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.parallel.mesh import ShardedCNNSIndex, make_mesh
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+        from hnsw_nsg_tpu.ops import brute_force_topk, recall
+        import jax.numpy as jnp
+
+        n, d, nq, k, nprobe = 6000, 24, 64, 10, 8
+        centers = rng.standard_normal((30, d)).astype(np.float32) * 4
+        x = (centers[rng.integers(0, 30, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        q = (centers[rng.integers(0, 30, nq)]
+             + rng.standard_normal((nq, d))).astype(np.float32)
+        idx = build_cnns(x, CNNSConfig(n_clusters=30, m=2, kmeans_iters=8))
+        mesh = make_mesh(8)
+        sidx = ShardedCNNSIndex.build(mesh, idx)
+
+        dd, ii, evals = sidx.search(q, k=k, nprobe=nprobe)
+        _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), k)
+        r = recall(np.asarray(ii), np.asarray(gt))
+        # single-device reference at the same nprobe
+        d1, i1 = idx.search(q, k=k, nprobe=nprobe)
+        r1 = recall(np.asarray(i1), np.asarray(gt))
+        assert r >= r1 - 0.03, (r, r1)
+
+        # SELECTIVITY: each shard scanned at most `slots` probes per query,
+        # where slots = ceil(nprobe/S)+1 = 2 << nprobe = 8. An unrouted
+        # design (every shard scans every probe) would do ~S x the evals.
+        evals = np.asarray(evals)
+        assert evals.shape == (8,)
+        slots = 2
+        per_shard_cap = nq * slots * idx.maxc
+        assert (evals <= per_shard_cap).all(), (evals, per_shard_cap)
+        total_single = np.asarray(
+            jnp.sum(jnp.asarray(i1 >= 0))
+        )  # proxy; the real check: total sharded evals stay near the
+        # single-device scan volume, not S x it
+        single_evals = nq * nprobe * idx.maxc
+        assert evals.sum() <= 2.5 * single_evals, (
+            evals.sum(), single_evals
+        )
