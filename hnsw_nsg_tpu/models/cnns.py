@@ -87,48 +87,69 @@ def _route_clusters(q, reps, nprobe: int, metric: str, rank_by="hits"):
     return jnp.where(got, visit, PAD_ID)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "metric"))
-def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric):
-    """Exact search of each query's probed clusters, one jitted program:
-    lax.scan over probe slots, each slot = gathered cluster slab x query
-    GEMM + running top-k merge."""
-    nq = q.shape[0]
-    qf = q.astype(jnp.float32)
-    qn = squared_norms(qf) if metric == "l2" else jnp.zeros((nq,))
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "q_block")
+)
+def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
+                       q_block: int = 2048):
+    """Exact search of each query's probed clusters, one jitted program.
 
-    qc = qf.astype(data_c.dtype)
-
-    def slot_fn(carry, cid):
-        best_d, best_i = carry
-        ok = cid >= 0
-        safe = jnp.where(ok, cid, 0)
-        xc = jnp.take(data_c, safe, axis=0)        # [Q, maxc, d]
-        ic = jnp.take(ids_c, safe, axis=0)         # [Q, maxc]
-        # dots in the slab dtype: with bf16 slabs the gather moves half the
-        # bytes (the probe-slot gather is the whole cost of this search) and
-        # the MXU runs at full rate; norms stay exact f32 (FastL2)
-        dots = jnp.einsum(
-            "qd,qmd->qm", qc, xc,
-            preferred_element_type=jnp.float32,
+    lax.map over query blocks (bounds the gathered-slab working set to
+    [q_block, maxc, d] — the full [Q, maxc, d] gather OOMs HBM for f32
+    slabs at Q~8k x maxc~4k), each block a lax.scan over probe slots:
+    gathered cluster slab x query GEMM + running top-k merge."""
+    nq, dim = q.shape
+    nv = visit.shape[1]
+    b = min(q_block, nq)
+    nb = -(-nq // b)
+    if nb * b != nq:
+        q = jnp.concatenate([q, jnp.zeros((nb * b - nq, dim), q.dtype)])
+        visit = jnp.concatenate(
+            [visit, jnp.full((nb * b - nq, nv), PAD_ID, visit.dtype)]
         )
-        if metric in ("ip", "cosine"):
-            d = 1.0 - dots
-        else:
-            nrm = jnp.take(cnorms_c, safe, axis=0)
-            d = nrm - 2.0 * dots + qn[:, None]
-        valid = (ic >= 0) & ok[:, None]
-        d = jnp.where(valid, d, PAD_DIST)
-        ic = jnp.where(valid, ic, PAD_ID)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, ic], axis=1)
-        return topk_smallest(cat_d, cat_i, k), None
 
-    init = (
-        jnp.full((nq, k), PAD_DIST, jnp.float32),
-        jnp.full((nq, k), PAD_ID, jnp.int32),
+    def block_fn(args):
+        qb, vb = args
+        qf = qb.astype(jnp.float32)
+        qn = squared_norms(qf) if metric == "l2" else jnp.zeros((b,))
+        # dots in the slab dtype: with bf16 slabs the gather moves half
+        # the bytes (the probe-slot gather is the whole cost of this
+        # search) and the MXU runs at full rate; norms stay exact f32
+        qc = qf.astype(data_c.dtype)
+
+        def slot_fn(carry, cid):
+            best_d, best_i = carry
+            ok = cid >= 0
+            safe = jnp.where(ok, cid, 0)
+            xc = jnp.take(data_c, safe, axis=0)    # [B, maxc, d]
+            ic = jnp.take(ids_c, safe, axis=0)     # [B, maxc]
+            dots = jnp.einsum(
+                "qd,qmd->qm", qc, xc,
+                preferred_element_type=jnp.float32,
+            )
+            if metric in ("ip", "cosine"):
+                d = 1.0 - dots
+            else:
+                nrm = jnp.take(cnorms_c, safe, axis=0)
+                d = nrm - 2.0 * dots + qn[:, None]
+            valid = (ic >= 0) & ok[:, None]
+            d = jnp.where(valid, d, PAD_DIST)
+            ic = jnp.where(valid, ic, PAD_ID)
+            cat_d = jnp.concatenate([best_d, d], axis=1)
+            cat_i = jnp.concatenate([best_i, ic], axis=1)
+            return topk_smallest(cat_d, cat_i, k), None
+
+        init = (
+            jnp.full((b, k), PAD_DIST, jnp.float32),
+            jnp.full((b, k), PAD_ID, jnp.int32),
+        )
+        (bd, bi), _ = jax.lax.scan(slot_fn, init, vb.T)
+        return bd, bi
+
+    bd, bi = jax.lax.map(
+        block_fn, (q.reshape(nb, b, dim), visit.reshape(nb, b, nv))
     )
-    (best_d, best_i), _ = jax.lax.scan(slot_fn, init, visit.T)
-    return best_d, best_i
+    return bd.reshape(nb * b, k)[:nq], bi.reshape(nb * b, k)[:nq]
 
 
 @dataclasses.dataclass
@@ -291,35 +312,35 @@ def build_cnns(
     sizes0 = np.bincount(assign, minlength=k0)
     target = max(int(np.ceil(n / k0)), 8)
     maxc = int(((2 * target + 7) // 8) * 8)
-    starts = np.zeros(k0 + 1, np.int64)
-    starts[1:] = np.cumsum(sizes0)
 
-    slab_members = []
-    for ci in range(k0):
-        members = order[starts[ci] : starts[ci + 1]]
-        for s0 in range(0, max(len(members), 1), maxc):
-            slab_members.append(members[s0 : s0 + maxc])
-    c = len(slab_members)
-    sizes = np.array([len(m) for m in slab_members])
+    # slab layout fully vectorized (the per-cluster Python loop dominated
+    # build time at C >= 2k): a cluster of size s becomes ceil(s/maxc)
+    # slabs; every sorted point gets (slab row, slot) coordinates
+    n_slabs0 = np.maximum(-(-sizes0 // maxc), 1)
+    slab_base = np.concatenate([[0], np.cumsum(n_slabs0)])
+    c = int(slab_base[-1])
+    cluster_of_point = np.repeat(np.arange(k0), sizes0)
+    starts = np.concatenate([[0], np.cumsum(sizes0)])
+    off_in_cluster = np.arange(n) - starts[cluster_of_point]
+    slab_row = slab_base[cluster_of_point] + off_in_cluster // maxc
+    slot = off_in_cluster % maxc
 
     data_np = np.asarray(data)
     ids_c = np.full((c, maxc), PAD_ID, np.int32)
+    ids_c[slab_row, slot] = order
     data_c = np.zeros((c, maxc, d), np.float32)
-    for ci, members in enumerate(slab_members):
-        ids_c[ci, : len(members)] = members
-        data_c[ci, : len(members)] = data_np[members]
+    valid = ids_c >= 0
+    data_c[valid] = data_np[ids_c[valid]]
+    sizes = valid.sum(axis=1)
 
     # representatives: centroid (slab mean) + m random members
     # (cluster_IVF_nndescent.cpp:143-186)
     reps = np.zeros((c, cfg.m + 1, d), np.float32)
-    for ci in range(c):
-        sz = max(sizes[ci], 1)
-        reps[ci, 0] = (
-            data_c[ci, : sizes[ci]].mean(axis=0)
-            if sizes[ci] else data_np[0]
-        )
-        pick = rng.integers(0, sz, cfg.m)
-        reps[ci, 1:] = data_c[ci, pick]
+    safe_sz = np.maximum(sizes, 1)
+    reps[:, 0] = data_c.sum(axis=1) / safe_sz[:, None]
+    reps[sizes == 0, 0] = data_np[0]
+    pick = (rng.random((c, cfg.m)) * safe_sz[:, None]).astype(np.int64)
+    reps[:, 1:] = data_c[np.arange(c)[:, None], pick]
 
     flat_adj = None
     eps_flat = None

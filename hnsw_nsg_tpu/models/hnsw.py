@@ -93,7 +93,10 @@ class HNSWIndex:
         self._rng = np.random.default_rng(cfg.random_seed)
         # derived int8 record layout for accelerated level-0 search
         # (models/records.py); rebuilt on demand, invalidated by mutation
+        # unless add_items(accel=True) maintains it incrementally
         self._records = None
+        self._dataq = None        # [cap, 4, nw] quantized vectors
+        self._maintain_records = False
         # search metrics (metric_hops / metric_distance_computations,
         # hnswalg.h:65-66)
         self.metric_hops = 0
@@ -122,7 +125,7 @@ class HNSWIndex:
             )
 
     def add_items(self, vecs, labels=None, batch_size: int = 4096,
-                  repair: bool = True):
+                  repair: bool = True, accel: bool = False):
         """Batched insertion (the reference's parallel addItems,
         bindings.cpp:251-300, as bulk-synchronous rounds).
 
@@ -131,7 +134,17 @@ class HNSWIndex:
         (an unreachable cluster's first points can only link to reachable
         nodes); bulk batches lose that mechanism on strongly clustered
         data, so we restore the invariant explicitly, NSG-tree_grow style
-        (CNNS/src/nsg/index_nsg.cpp:748-764)."""
+        (CNNS/src/nsg/index_nsg.cpp:748-764).
+
+        ``accel``: maintain the packed int8 record layout incrementally and
+        run the level-0 candidate beam over it — one ~0.75us row gather per
+        expansion instead of ~2M small ones (see models/records.py). Pool
+        distances are re-computed exactly before pruning, so link selection
+        quality is unchanged; the search simply walks the same graph
+        through the fat-row layout. Leaves the index with live records, so
+        subsequent knn_query calls take the accelerated path too."""
+        if accel:
+            self._maintain_records = True
         vecs = np.asarray(vecs, np.float32)
         if vecs.ndim == 1:
             vecs = vecs[None]
@@ -174,7 +187,8 @@ class HNSWIndex:
         index_nsg.cpp:712-747). Returns the number of edges added."""
         if self.n <= 1:
             return 0
-        self._records = None
+        if not self._maintain_records:
+            self._records = None
         adj0 = np.array(self.adj0[: self.n])
         cap0 = 2 * self.cfg.M
 
@@ -192,6 +206,7 @@ class HNSWIndex:
 
         visited = bfs([self.ep], np.zeros(self.n, bool))
         added = 0
+        touched_l = []
         for _ in range(max_rounds):
             if visited.all():
                 break
@@ -214,14 +229,60 @@ class HNSWIndex:
                 deg = int((adj0[attach] >= 0).sum())
                 slot = deg if deg < cap0 else cap0 - 1
                 adj0[attach, slot] = root
+                touched_l.append(attach)
                 added += 1
                 visited = bfs([root], visited)
         self.adj0 = self.adj0.at[: self.n].set(jnp.asarray(adj0))
+        if added and self._maintain_records and self._records is not None:
+            self._refresh_record_rows(np.asarray(touched_l, np.int64).astype(np.int32))
         return added
+
+    def _init_records_state(self, x_sample: np.ndarray,
+                            max_degree: int = 30) -> None:
+        """Allocate the maintained record arena + quantized-vector store."""
+        from .records import RecordGraph, _layout, build_record_graph
+
+        deg = min(max_degree, self.adj0.shape[1])
+        scale = max(float(np.abs(x_sample).max()), 1e-20) * 1.25 / 127.0
+        g = build_record_graph(
+            self.data, self.adj0[:, :deg], self.norms, scale=scale
+        )
+        self._records = g
+        nw, _ = _layout(deg, self.dim)
+        from .records import quantize_rows
+        self._dataq = quantize_rows(self.data, jnp.float32(scale), nw)
+
+    def _refresh_record_rows(self, dirty_ids: np.ndarray) -> None:
+        """Repack the records of rows whose adjacency changed."""
+        from .records import RecordGraph, _layout, update_record_rows
+
+        g = self._records
+        nw, _ = _layout(g.r, g.d)
+        dirty = np.unique(dirty_ids[dirty_ids >= 0]).astype(np.int32)
+        if len(dirty) == 0:
+            return
+        bucket = 1024
+        while bucket < len(dirty):
+            bucket *= 2
+        pad = np.full(bucket, -1, np.int32)
+        pad[: len(dirty)] = dirty
+        rows_j = jnp.asarray(np.where(pad >= 0, pad, 0))
+        adj_rows = jnp.take(self.adj0, rows_j, axis=0)[:, : g.r]
+        new_rows = update_record_rows(
+            g.rows, self._dataq, self.norms, adj_rows,
+            jnp.asarray(pad), nw=nw,
+        )
+        self._records = RecordGraph(
+            rows=new_rows, scale=g.scale, r=g.r, d=g.d
+        )
 
     def _insert_batch(self, x: np.ndarray, labels: np.ndarray,
                       pad_to: int | None = None) -> None:
-        self._records = None
+        if not self._maintain_records:
+            self._records = None
+        elif self._records is None:
+            self._init_records_state(x)
+        accel = self._maintain_records and self._records is not None
         cfg = self.cfg
         b_real = x.shape[0]
         # pad the batch to a fixed bucket so every insert compiles the same
@@ -252,8 +313,20 @@ class HNSWIndex:
 
         ids = jnp.asarray(ids_np)
         qn = squared_norms(xj) if self.metric == "l2" else jnp.zeros((b,))
+        if accel:
+            # append the batch to the quantized store so reverse-edge
+            # record refreshes can reference the new ids
+            from .records import _layout, quantize_rows
+            nw, _ = _layout(self._records.r, self.dim)
+            self._dataq = jax.lax.dynamic_update_slice(
+                self._dataq,
+                quantize_rows(xj[:b_real], self._records.scale, nw),
+                (self.n, 0, 0),
+            )
 
-        # ---- phase 1: collect candidate pools per level from the old graph
+        # ---- phase 1: collect candidate pools per level from the old
+        # graph. Pools store EXACT metric distances (pruning needs them on
+        # the pair-distance scale).
         pools: dict[int, tuple] = {}
         if self.n > 0:
             cur = jnp.full((b,), self.ep, jnp.int32)
@@ -266,15 +339,32 @@ class HNSWIndex:
                         metric=self.metric,
                     )
                     continue
-                # beam for everyone (greedy rows just get a cheap beam too —
-                # one batched call instead of two partial ones), width ef_c
-                res = beam_search(
-                    xj, self.data, self.norms, adj_l, cur[:, None],
-                    width=cfg.ef_construction, metric=self.metric,
-                    max_hops=256, expand=cfg.insert_expand,
-                )
-                pools[lvl] = (res.dists, res.ids)
-                cur = jnp.where(beam_rows | True, res.ids[:, 0], cur)
+                if lvl == 0 and accel:
+                    # record-layout beam: same graph walk, one fat-row
+                    # gather per expansion; its int8 distances are NOT
+                    # used — the pool is re-distanced exactly below
+                    from .records import beam_search_records
+                    res = beam_search_records(
+                        xj, self.data, self.norms, self._records,
+                        cur[:, None], width=cfg.ef_construction,
+                        metric=self.metric, max_hops=256,
+                        expand=cfg.insert_expand,
+                    )
+                    pd = gathered_dists(
+                        xj, self.data, res.ids, self.metric, self.norms,
+                        exact=True,
+                    )
+                else:
+                    res = beam_search(
+                        xj, self.data, self.norms, adj_l, cur[:, None],
+                        width=cfg.ef_construction, metric=self.metric,
+                        max_hops=256, expand=cfg.insert_expand,
+                    )
+                    pd = res.dists + (
+                        qn[:, None] if self.metric == "l2" else 0.0
+                    )
+                pools[lvl] = (pd, res.ids)
+                cur = res.ids[:, 0]
         else:
             pools = {}
 
@@ -313,10 +403,7 @@ class HNSWIndex:
             rows_j = jnp.asarray(np.where(rows_pad >= 0, rows_pad, 0))
             parts_i, parts_d = [], []
             if lvl in pools:
-                pd, pi = pools[lvl]
-                pd = pd + (
-                    qn[:, None] if self.metric == "l2" else 0.0
-                )  # exact for pruning
+                pd, pi = pools[lvl]  # already exact metric values
                 parts_i.append(pi[rows_j])
                 parts_d.append(pd[rows_j])
             if bb_ids is not None:
@@ -349,8 +436,11 @@ class HNSWIndex:
                  kept_i, kept_d)
             )
 
+        dirty = [ids_np[:b_real]]
         for lvl, src_ids, kept_i, kept_d in new_edges:
-            self._reverse_insert(lvl, src_ids, kept_i, kept_d)
+            dsts = self._reverse_insert(lvl, src_ids, kept_i, kept_d)
+            if lvl == 0 and dsts is not None:
+                dirty.append(dsts)
 
         # ---- phase 4: enterpoint/bookkeeping
         if batch_max_level > self.max_level:
@@ -359,6 +449,10 @@ class HNSWIndex:
         if self.ep == PAD_ID:
             self.ep = int(ids_np[0])
         self.n += b_real
+        if accel:
+            self._refresh_record_rows(
+                np.concatenate(dirty).astype(np.int32)
+            )
 
     def _reverse_insert(
         self, lvl: int, src: np.ndarray, kept_i, kept_d,
@@ -379,7 +473,7 @@ class HNSWIndex:
         kept_np = np.asarray(kept_i)
         dsts = np.unique(kept_np[kept_np >= 0])
         if len(dsts) == 0:
-            return
+            return None
         adj_l = self._adj_at(lvl)
 
         # scatter proposals: inc[dst, rand_col] = (src, d)
@@ -448,6 +542,7 @@ class HNSWIndex:
         write_rows = jnp.where(live, rows_j, self.cap)
         adj_l = adj_l.at[write_rows].set(new_rows, mode="drop")
         self._set_adj(lvl, adj_l)
+        return dsts
 
     # ------------------------------------------------------------------
     # search
@@ -588,6 +683,8 @@ class HNSWIndex:
         chosen for the *old* vector; under churn those stale edges degrade
         recall (the regression bindings_test_replace.py:155 guards)."""
         self._records = None
+        self._dataq = None
+        self._maintain_records = False
         cfg = self.cfg
         x = jnp.asarray(np.asarray(vec, np.float32)[None])
         # capture the old neighborhoods BEFORE the vector changes: these
@@ -694,6 +791,8 @@ class HNSWIndex:
         grow = alloc - self.cap
         if grow <= 0:
             return
+        self._records = None
+        self._dataq = None
         new_cap = alloc
         self.data = jnp.concatenate(
             [self.data, jnp.zeros((grow, self.dim), self.dtype)], axis=0

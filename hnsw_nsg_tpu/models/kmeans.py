@@ -22,25 +22,33 @@ from ..ops.distance import pairwise_dists, squared_norms
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def _assign(data, centroids, c_norms, chunk: int = 65536):
-    """argmin_k ||x - c_k||^2 for every point, chunked over N."""
+    """argmin_k ||x - c_k||^2 for every point, chunked over N.
+
+    The assignment GEMM runs in bf16 (6x the f32/HIGHEST MXU rate; argmin
+    over cluster distances is insensitive to bf16 rounding at partition
+    granularity — faiss likewise trains IVF in reduced precision). Centroid
+    norms stay f32; centroid *updates* in _step stay full f32."""
     n = data.shape[0]
     nb = -(-n // chunk)
+    cb = centroids.astype(jnp.bfloat16)
+
+    def block_of(x):
+        d = pairwise_dists(
+            x.astype(jnp.bfloat16), cb, "l2", c_norms, exact=False
+        )
+        return jnp.argmin(d, axis=1).astype(jnp.int32), jnp.min(d, axis=1)
 
     def block(i):
-        x = jax.lax.dynamic_slice_in_dim(data, i * chunk, chunk, axis=0)
-        d = pairwise_dists(x, centroids, "l2", c_norms, exact=False)
-        return jnp.argmin(d, axis=1).astype(jnp.int32), jnp.min(d, axis=1)
+        return block_of(
+            jax.lax.dynamic_slice_in_dim(data, i * chunk, chunk, axis=0)
+        )
 
     if nb == 1 and n == chunk:
         return block(0)
     parts = [block(i) for i in range(n // chunk)]
     rem = n % chunk
     if rem:
-        x = data[n - rem:]
-        d = pairwise_dists(x, centroids, "l2", c_norms, exact=False)
-        parts.append(
-            (jnp.argmin(d, axis=1).astype(jnp.int32), jnp.min(d, axis=1))
-        )
+        parts.append(block_of(data[n - rem:]))
     return (
         jnp.concatenate([p[0] for p in parts]),
         jnp.concatenate([p[1] for p in parts]),

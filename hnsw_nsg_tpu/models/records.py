@@ -159,6 +159,54 @@ def build_record_graph(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("nw",))
+def quantize_rows(x, scale, nw: int):
+    """Quantize a batch of vectors to the split-quarter int layout
+    ([B, 4, nw] int32-valued int8) used by record packing."""
+    d = x.shape[1]
+    qv = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int32)
+    pad_d = 4 * nw - d
+    if pad_d:
+        qv = jnp.concatenate(
+            [qv, jnp.zeros((x.shape[0], pad_d), jnp.int32)], axis=1
+        )
+    return qv.reshape(x.shape[0], 4, nw)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("nw",))
+def update_record_rows(rows, data_q, norms, adj_rows, row_ids, nw: int):
+    """Repack a scattered set of record rows in place (donated).
+
+    The incremental maintenance op behind construction-time acceleration:
+    after a bulk-synchronous insert round rewrites some adjacency rows,
+    only those rows' records are repacked. row_ids: [B] int32 (PAD_ID
+    entries dropped). adj_rows: [B, R] the new adjacency of those rows.
+    """
+    b, r = adj_rows.shape
+    ok = adj_rows >= 0
+    safe = jnp.where(ok, adj_rows, 0)
+    q4 = jnp.take(data_q, safe, axis=0)
+    q4 = jnp.where(ok[:, :, None, None], q4, 0)
+    w = (
+        (q4[:, :, 0] & 0xFF)
+        | ((q4[:, :, 1] & 0xFF) << 8)
+        | ((q4[:, :, 2] & 0xFF) << 16)
+        | ((q4[:, :, 3] & 0xFF) << 24)
+    )
+    ids = jnp.where(ok, adj_rows, PAD_ID)
+    nb = jnp.where(ok, jnp.take(norms, safe), PAD_DIST)
+    nb = jax.lax.bitcast_convert_type(nb, jnp.int32)
+    s = rows.shape[1]
+    pad = jnp.zeros((b, s * 128 - r * nw - 2 * r), jnp.int32)
+    row = jnp.concatenate(
+        [w.reshape(b, r * nw), ids, nb, pad], axis=1
+    ).reshape(b, s, 128)
+    dst = jnp.where(row_ids >= 0, row_ids, rows.shape[0])
+    return rows.at[dst].set(row, mode="drop")
+
+
 def _record_dists(q_bf, rows_g, scale, r: int, nw: int, metric: str):
     """rows_g: [Q, E, S, 128] gathered records -> (dists [Q, E*R] f32,
     ids [Q, E*R] i32). q_bf: [Q, 4, nw] query split by quarter (bf16)."""

@@ -313,7 +313,7 @@ class ShardedCNNSIndex:
             init = (
                 jnp.full((qf.shape[0], k), PAD_DIST, jnp.float32),
                 jnp.full((qf.shape[0], k), PAD_ID, jnp.int32),
-                jnp.zeros((), jnp.int64),
+                jnp.zeros((), jnp.int32),
             )
             (ld, li, evals), _ = jax.lax.scan(slot_fn, init, sel.T)
             gd, gi = _merge_allgather(ld, li, k)

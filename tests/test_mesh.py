@@ -42,6 +42,7 @@ def test_sharded_flat_unaligned_n(mesh, rng):
     assert recall(np.asarray(i), np.asarray(gt)) > 0.999
 
 
+@pytest.mark.slow
 def test_sharded_graph_search(mesh, rng):
     """8 independent per-shard NSGs, lockstep search, allgather merge."""
     shard_n, d = 512, 16

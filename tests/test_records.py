@@ -117,3 +117,27 @@ class TestHNSWAccel:
         # mutation invalidates the derived layout
         idx.add_items(xs[:1], labels=np.array([99999]))
         assert idx._records is None
+
+    def test_accel_insert_recall_parity(self):
+        """add_items(accel=True) builds through the record layout with
+        exact re-distanced pools — graph quality must match plain build."""
+        from hnsw_nsg_tpu.models.hnsw import HNSWIndex
+        from hnsw_nsg_tpu.utils.params import HNSWConfig
+        import jax.numpy as jnp
+        from hnsw_nsg_tpu.ops import brute_force_topk
+
+        rng = np.random.default_rng(4)
+        n, d = 3000, 32
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((32, d)).astype(np.float32)
+        _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 10)
+        i1 = HNSWIndex(d, n, HNSWConfig(M=12, ef_construction=80), "l2")
+        i1.add_items(x, accel=True, batch_size=1024)
+        assert i1._records is not None  # maintained through the build
+        l1, _ = i1.knn_query(q, k=10, ef=80)
+        r1 = recall(l1, np.asarray(gt))
+        i2 = HNSWIndex(d, n, HNSWConfig(M=12, ef_construction=80), "l2")
+        i2.add_items(x, batch_size=1024)
+        l2, _ = i2.knn_query(q, k=10, ef=80)
+        r2 = recall(l2, np.asarray(gt))
+        assert r1 >= r2 - 0.02, (r1, r2)
