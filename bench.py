@@ -139,7 +139,9 @@ def main():
                 dd, ii = brute_force_topk_approx(
                     qd, xb, K, x_norms=norms, recall_target=rt
                 )
-            np.asarray(ii)
+                np.asarray(ii)  # fetch EVERY rep: the tunnel defers
+                # execution until a buffer is consumed, so only fetched
+                # calls actually run (and serving returns results anyway)
             qps = nq * reps / (time.time() - t0)
             log(f"brute rt={rt}: recall@10={r:.4f} qps={qps:.0f}")
             best = (f"bf16+approx_top_k(rt={rt})", r, qps)
@@ -214,7 +216,7 @@ def main():
             reps = 3
             for _ in range(reps):
                 dd, ii = idx.search(queries, k=K, nprobe=nprobe)
-            np.asarray(ii)
+                np.asarray(ii)  # fetch every rep (deferred execution)
             qps = nq * reps / (time.time() - t0)
             log(f"nprobe={nprobe}: recall@10={r:.4f} qps={qps:.0f}")
             best = (f"nprobe={nprobe}", r, qps)

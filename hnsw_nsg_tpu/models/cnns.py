@@ -53,19 +53,37 @@ from ..ops.bruteforce import knn_graph_exact
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "metric", "rank_by")
+    jax.jit, static_argnames=("nprobe", "metric", "rank_by", "route_m")
 )
-def _route_clusters(q, reps, nprobe: int, metric: str, rank_by="hits"):
+def _route_clusters(q, reps, nprobe: int, metric: str, rank_by="hits",
+                    route_m: int | None = None):
     """Rank clusters for probing. rank_by="hits": representative hit count
     (reference default, cluster_hnsw_nsg_search.cpp:146-173), ties broken by
     best rep rank; rank_by="min_dist": closest-representative order (the
     sort_by_min_dist ablation, experiment_feature/sort_by_min_dist.cpp:
     280-287). Returns visit list [Q, nprobe] of cluster ids (PAD padded)."""
+    if route_m is not None:
+        # route on the first route_m representatives only (route_m=1 ==
+        # centroid-only routing, the knn-router ablation with m=0); the
+        # rep GEMM and the approximate top-k shrink proportionally
+        reps = reps[:, :route_m]
     c, m1, d = reps.shape
     rep_flat = reps.reshape(c * m1, d)
-    rd = pairwise_dists(q, rep_flat, metric, exact=False)
+    # bf16 rep distances + hardware approximate top-k: routing is rank
+    # selection at cluster granularity, insensitive to both (measured
+    # 0.988 top-40 overlap with the exact f32 route; exact lax.top_k over
+    # the ~10k-wide rep row is 5-2000x slower on TPU)
+    rd = pairwise_dists(
+        q.astype(jnp.bfloat16), rep_flat.astype(jnp.bfloat16),
+        metric, exact=False,
+    )
     n_rep = min(nprobe * m1, c * m1)
-    _, rep_idx = jax.lax.top_k(-rd, n_rep)      # [Q, n_rep]
+    if c * m1 > 4 * n_rep and c * m1 >= 256:
+        _, rep_idx = jax.lax.approx_max_k(
+            -rd, n_rep, recall_target=0.95
+        )
+    else:
+        _, rep_idx = jax.lax.top_k(-rd, n_rep)  # [Q, n_rep]
     cid = rep_idx // m1                          # [Q, n_rep]
     # hit count per slot's cluster; first-occurrence dedup
     eq = cid[:, :, None] == cid[:, None, :]
@@ -126,6 +144,9 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
             dots = jnp.einsum(
                 "qd,qmd->qm", qc, xc,
                 preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.HIGHEST
+                           if data_c.dtype == jnp.float32
+                           else jax.lax.Precision.DEFAULT),
             )
             if metric in ("ip", "cosine"):
                 d = 1.0 - dots
@@ -150,6 +171,200 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         block_fn, (q.reshape(nb, b, dim), visit.reshape(nb, b, nv))
     )
     return bd.reshape(nb * b, k)[:nq], bi.reshape(nb * b, k)[:nq]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "cap", "block", "approx"),
+)
+def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
+                          cap: int, block: int, approx: bool):
+    """Inverted, cluster-major probe scan.
+
+    The per-query slot scan (_flat_probe_search) gathers each probed slab
+    once PER QUERY — at Q=8k x nprobe=8 that re-reads the popular slabs
+    thousands of times and the search is slab-gather bandwidth-bound
+    (~88 GB/s measured => ~45k QPS at 1M). Grouping inverts the loop: sort
+    the (cluster, query) probe pairs by cluster, give every cluster a
+    fixed-capacity query list, and sweep the slab table ONCE in contiguous
+    blocks — each probed slab is read a single time per batch and the MXU
+    does one [cap, d] x [d, maxc] GEMM per cluster. Probe pairs beyond
+    ``cap`` for an over-popular cluster are dropped, like the reference's
+    early-stop skipping low-ranked clusters (cluster_hnsw_nsg_search.cpp:
+    237-251) — capacity is sized ~2x the mean so drops are rare tail
+    events on the lowest-ranked probes.
+
+    Per-(cluster, slot) top-k uses the TPU-native approximate top-k
+    (``approx=True``; bound by its recall_target=0.99 per slot) or exact
+    ``lax.top_k``. FastL2 values merge correctly across clusters because
+    the per-query ||q||^2 shift is constant within a query row.
+    """
+    qn, d = q.shape
+    c, maxc = ids_c.shape
+    npr = visit.shape[1]
+    qf = q.astype(jnp.float32)
+    qc = qf.astype(data_c.dtype)
+
+    # ---- invert: (cluster, query) pairs sorted by (cluster, probe rank)
+    # -> [C, cap] query lists. Ranking by probe rank makes any capacity
+    # overflow fall on the LOWEST-ranked probes; the overflow pairs are
+    # then searched exactly through the per-query path below, so capacity
+    # only shifts work, never drops it.
+    flat_cid = visit.reshape(-1)
+    slot_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (qn, npr), 1
+    ).reshape(-1)
+    pair_q = jax.lax.broadcasted_iota(
+        jnp.int32, (qn, npr), 0
+    ).reshape(-1)
+    sort_key = jnp.where(
+        flat_cid >= 0, flat_cid * npr + slot_iota, c * npr
+    )
+    order = jnp.argsort(sort_key, stable=True)
+    scid = jnp.where(flat_cid[order] >= 0, flat_cid[order], c)
+    sq = pair_q[order]
+    pos = (
+        jax.lax.broadcasted_iota(jnp.int32, (qn * npr, 1), 0)[:, 0]
+        - jnp.searchsorted(scid, scid, side="left").astype(jnp.int32)
+    )
+    ok = (scid < c) & (pos < cap)
+    spilled = (scid < c) & (pos >= cap)
+    qidx = jnp.full((c, cap), PAD_ID, jnp.int32).at[
+        jnp.where(ok, scid, c), jnp.where(ok, pos, 0)
+    ].set(jnp.where(ok, sq, PAD_ID), mode="drop")
+
+    qv = jnp.where(
+        (qidx >= 0)[:, :, None],
+        jnp.take(qc, jnp.where(qidx >= 0, qidx, 0), axis=0),
+        0,
+    )                                                  # [C, cap, d]
+
+    # ---- contiguous slab sweep, one cluster block per scan step
+    nb = c // block
+
+    def blk(_, i):
+        slab = jax.lax.dynamic_slice(
+            data_c, (i * block, 0, 0), (block, maxc, d)
+        )
+        ids_b = jax.lax.dynamic_slice(ids_c, (i * block, 0), (block, maxc))
+        qb = jax.lax.dynamic_slice(qv, (i * block, 0, 0), (block, cap, d))
+        live = jax.lax.dynamic_slice(
+            qidx, (i * block, 0), (block, cap)
+        ) >= 0
+        dots = jnp.einsum(
+            "bcd,bmd->bcm", qb, slab,
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if data_c.dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT),
+        )
+        if metric in ("ip", "cosine"):
+            dist = 1.0 - dots
+        else:
+            nrm = jax.lax.dynamic_slice(
+                cnorms_c, (i * block, 0), (block, maxc)
+            )
+            dist = nrm[:, None, :] - 2.0 * dots
+        dist = jnp.where(
+            (ids_b >= 0)[:, None, :] & live[:, :, None], dist, PAD_DIST
+        )
+        flat = dist.reshape(block * cap, maxc)
+        if approx:
+            neg, ti = jax.lax.approx_max_k(-flat, k, recall_target=0.99)
+        else:
+            neg, ti = jax.lax.top_k(-flat, k)
+        td = -neg
+        gi = jnp.take_along_axis(
+            jnp.broadcast_to(
+                ids_b[:, None, :], (block, cap, maxc)
+            ).reshape(block * cap, maxc),
+            ti, axis=1,
+        )
+        gi = jnp.where(td < PAD_DIST, gi, PAD_ID)
+        return None, (td.reshape(block, cap, k), gi.reshape(block, cap, k))
+
+    _, (td, gi) = jax.lax.scan(
+        blk, None, jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
+    )
+    td = td.reshape(c, cap, k)
+    gi = gi.reshape(c, cap, k)
+
+    # ---- route results back to query rows and merge the probe slots
+    safe_cid = jnp.where(ok, scid, 0)
+    safe_pos = jnp.where(ok, pos, 0)
+    rd = jnp.where(ok[:, None], td[safe_cid, safe_pos], PAD_DIST)
+    ri = jnp.where(ok[:, None], gi[safe_cid, safe_pos], PAD_ID)
+    slot = jnp.where(flat_cid[order] >= 0, slot_iota[order], 0)
+    out_d = jnp.full((qn, npr, k), PAD_DIST, jnp.float32).at[
+        sq, slot
+    ].set(rd, mode="drop").reshape(qn, npr * k)
+    out_i = jnp.full((qn, npr, k), PAD_ID, jnp.int32).at[
+        sq, slot
+    ].set(ri, mode="drop").reshape(qn, npr * k)
+    if metric == "l2":
+        out_d = jnp.where(
+            out_i >= 0, out_d + squared_norms(qf)[:, None], PAD_DIST
+        )
+
+    # ---- overflow pairs: compact them into a pair list and scan each
+    # pair's slab directly (cost proportional to the spill count, not Q).
+    # Pairs beyond the spill budget — beyond-rare, and by construction the
+    # lowest-ranked probes of the most over-subscribed clusters — drop.
+    sp_budget = max(256, min(1 << (int(qn * npr / 16)).bit_length(), 2048))
+    order2 = jnp.argsort(~spilled, stable=True)[:sp_budget]
+    m = spilled[order2]
+    pq = jnp.where(m, sq[order2], 0)
+    pc = jnp.where(m, scid[order2], 0)
+    ps = jnp.where(m, slot[order2], 0)
+
+    def sp_blk(args):
+        pq_b, pc_b, m_b = args
+        slab = jnp.take(data_c, pc_b, axis=0)       # [B, maxc, d]
+        ic = jnp.take(ids_c, pc_b, axis=0)
+        xq = jnp.take(qc, pq_b, axis=0)
+        dots = jnp.einsum(
+            "pd,pmd->pm", xq, slab,
+            preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if data_c.dtype == jnp.float32
+                       else jax.lax.Precision.DEFAULT),
+        )
+        if metric in ("ip", "cosine"):
+            dist = 1.0 - dots
+        else:
+            dist = jnp.take(cnorms_c, pc_b, axis=0) - 2.0 * dots
+        valid = (ic >= 0) & m_b[:, None]
+        dist = jnp.where(valid, dist, PAD_DIST)
+        return topk_smallest(dist, jnp.where(valid, ic, PAD_ID), k)
+
+    spb = 512
+    nsp = sp_budget // spb if sp_budget % spb == 0 else 1
+    if nsp > 1:
+        sp_d, sp_i = jax.lax.map(
+            sp_blk,
+            (pq.reshape(nsp, spb), pc.reshape(nsp, spb),
+             m.reshape(nsp, spb)),
+        )
+        sp_d = sp_d.reshape(sp_budget, k)
+        sp_i = sp_i.reshape(sp_budget, k)
+    else:
+        sp_d, sp_i = sp_blk((pq, pc, m))
+    if metric == "l2":
+        qn_all = squared_norms(qf)
+        sp_d = jnp.where(
+            sp_i >= 0, sp_d + qn_all[pq][:, None], PAD_DIST
+        )
+    # spilled (q, slot) cells are empty in the grouped output, so the
+    # scatter cannot collide with grouped results; masked budget rows
+    # target an out-of-bounds row and drop
+    pq_dst = jnp.where(m, pq, qn)
+    out_d = out_d.reshape(qn, npr, k).at[pq_dst, ps].set(
+        sp_d, mode="drop"
+    ).reshape(qn, npr * k)
+    out_i = out_i.reshape(qn, npr, k).at[pq_dst, ps].set(
+        sp_i, mode="drop"
+    ).reshape(qn, npr * k)
+    return topk_smallest(out_d, out_i, k)
 
 
 @dataclasses.dataclass
@@ -178,8 +393,11 @@ class CNNSIndex:
     def maxc(self) -> int:
         return self.data_c.shape[1]
 
-    def _route(self, q: jax.Array, nprobe: int, rank_by: str = "hits"):
-        return _route_clusters(q, self.reps, nprobe, self.metric, rank_by)
+    def _route(self, q: jax.Array, nprobe: int, rank_by: str = "hits",
+               route_m: int | None = None):
+        return _route_clusters(
+            q, self.reps, nprobe, self.metric, rank_by, route_m
+        )
 
     def search(
         self,
@@ -189,23 +407,42 @@ class CNNSIndex:
         l_search: int = 100,
         expand: int = 1,
         rank_by: str = "hits",
+        group: bool | None = None,
+        route_m: int | None = None,
     ):
-        """Returns (dists [Q, k] exact, global ids [Q, k])."""
+        """Returns (dists [Q, k] exact, global ids [Q, k]).
+
+        group: use the cluster-major grouped scan (each probed slab read
+        once per batch) instead of the per-query slot scan. Default: auto —
+        group when the batch is large enough that probe pairs per cluster
+        exceed ~2 (the regime where the per-query scan re-reads slabs)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
         nprobe = nprobe or max(1, self.n_clusters // 8)
-        visit = self._route(q, nprobe, rank_by)  # [Q, V]
+        visit = self._route(q, nprobe, rank_by, route_m)  # [Q, V]
 
         if self.local_index == "flat":
-            return self._search_flat(q, visit, k)
+            return self._search_flat(q, visit, k, group)
         return self._search_nsg(q, visit, k, l_search, expand)
 
-    def _search_flat(self, q, visit, k):
+    def _search_flat(self, q, visit, k, group=None):
         cnorms = (
             self.cnorms_c if self.cnorms_c is not None
             else jnp.zeros(self.ids_c.shape, jnp.float32)
         )
+        c = self.data_c.shape[0]
+        pairs = q.shape[0] * visit.shape[1]
+        if group is None:
+            group = pairs >= 2 * c and c % 64 == 0
+        if group and c % 64 == 0:
+            cap = 8
+            while cap * c < 2 * pairs and cap < 512:
+                cap *= 2
+            return _grouped_probe_search(
+                q, visit, self.data_c, self.ids_c, cnorms, k,
+                self.metric, cap=cap, block=64, approx=True,
+            )
         return _flat_probe_search(
             q, visit, self.data_c, self.ids_c, cnorms, k, self.metric
         )
@@ -372,6 +609,33 @@ def build_cnns(
             if verbose:
                 print(f"cluster {ci + 1}/{c}: NSG built over {sz} points")
         flat_adj = jnp.asarray(flat_adj_np)
+
+    # pad the slab count to a multiple of 64 so the grouped cluster-major
+    # sweep can use contiguous fixed-size blocks; padded slabs have
+    # far-away representatives (never probed), PAD ids, zero data
+    c_pad = -(-c // 64) * 64
+    if c_pad != c:
+        pad = c_pad - c
+        reps = np.concatenate(
+            [reps, np.full((pad, cfg.m + 1, d), 1e15, np.float32)]
+        )
+        data_c = np.concatenate(
+            [data_c, np.zeros((pad, maxc, d), np.float32)]
+        )
+        ids_c = np.concatenate(
+            [ids_c, np.full((pad, maxc), PAD_ID, np.int32)]
+        )
+        sizes = np.concatenate([sizes, np.zeros(pad, sizes.dtype)])
+        if flat_adj is not None:
+            flat_adj = jnp.concatenate([
+                flat_adj,
+                jnp.full((pad * maxc, flat_adj.shape[1]), PAD_ID,
+                         jnp.int32),
+            ])
+            eps_flat = np.concatenate(
+                [eps_flat, np.zeros(pad, eps_flat.dtype)]
+            )
+        c = c_pad
 
     if slab_dtype is None:
         slab_dtype = jnp.float32

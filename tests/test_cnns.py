@@ -127,3 +127,24 @@ class TestHybrid:
         l1, _ = hy.search_knn(q[:8], k=5, ef=32)
         l2, _ = hy2.search_knn(q[:8], k=5, ef=32)
         np.testing.assert_array_equal(l1, l2)
+
+
+class TestGroupedFlat:
+    """Cluster-major grouped scan == per-query slot scan (with exact
+    spill handling for capacity overflow)."""
+
+    def test_grouped_matches_per_query(self, clustered):
+        x, q = clustered
+        idx = build_cnns(x, CNNSConfig(n_clusters=16, m=3, kmeans_iters=10))
+        assert idx.data_c.shape[0] % 64 == 0  # slab count padded
+        _, gt = brute_force_topk(q, x, 10)
+        for nprobe in (4, 16):
+            d1, i1 = idx.search(q, k=10, nprobe=nprobe, group=False)
+            d2, i2 = idx.search(q, k=10, nprobe=nprobe, group=True)
+            r1 = recall(np.asarray(i1), np.asarray(gt))
+            r2 = recall(np.asarray(i2), np.asarray(gt))
+            assert r2 >= r1 - 0.015, (nprobe, r1, r2)
+            com = np.asarray(i1[:, 0]) == np.asarray(i2[:, 0])
+            np.testing.assert_allclose(
+                np.asarray(d1)[com, 0], np.asarray(d2)[com, 0], rtol=1e-4
+            )
