@@ -69,20 +69,34 @@ def _leaf_topk_impl(data, perm, leaf: int, k: int, metric: str, group: int):
 
     def block(args):
         xb, gb = args  # [G, leaf, d], [G, leaf]
-        xf = xb.astype(jnp.float32)
+        # bf16 all-pairs + hardware approximate top-k: this stage only
+        # PROPOSES candidates (trees are merged and nn-descent refines), so
+        # exactness buys nothing — and exact lax.top_k over the leaf-wide
+        # row is the dominant cost of the whole build (PROGRESS.md router
+        # finding: orders of magnitude slower than PartialReduce)
+        xf = xb.astype(jnp.bfloat16)
         dots = jnp.einsum(
             "gld,gmd->glm", xf, xf, preferred_element_type=jnp.float32,
         )
         if metric in ("ip", "cosine"):
             dist = 1.0 - dots
         else:
-            nrm = jnp.sum(xf * xf, axis=-1)
+            x32 = xb.astype(jnp.float32)
+            nrm = jnp.sum(x32 * x32, axis=-1)
             dist = nrm[:, :, None] + nrm[:, None, :] - 2.0 * dots
         # mask self
         eye = jnp.eye(leaf, dtype=jnp.bool_)
         dist = jnp.where(eye[None], PAD_DIST, dist)
         kk = min(k, leaf - 1)
-        neg, idx = jax.lax.top_k(-dist, kk)
+        g_, l_, m_ = dist.shape
+        if m_ >= 8 * kk and m_ >= 256:
+            neg, idx = jax.lax.approx_max_k(
+                -dist.reshape(g_ * l_, m_), kk, recall_target=0.95
+            )
+            neg = neg.reshape(g_, l_, kk)
+            idx = idx.reshape(g_, l_, kk)
+        else:
+            neg, idx = jax.lax.top_k(-dist, kk)
         ids = jnp.take_along_axis(
             jnp.broadcast_to(gb[:, None, :], (gb.shape[0], leaf, leaf)),
             idx, axis=2,
