@@ -108,18 +108,25 @@ def main():
     engine = os.environ.get("BENCH_ENGINE", "cnns_flat")
     if engine not in ("cnns_flat", "cnns_nsg", "hnsw", "brute"):
         raise SystemExit(f"unknown BENCH_ENGINE {engine!r}")
-    n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 2048, 8)))
+    n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 1024, 8)))
 
     t0 = time.time()
     x, queries = make_data(n, d, nq, metric)
     log(f"data: {n}x{d} {metric}, {nq} queries ({time.time() - t0:.1f}s)")
 
     t0 = time.time()
-    xd = jnp.asarray(x)
-    qd = jnp.asarray(queries)
-    _, gt = brute_force_topk(qd, xd, K, metric=metric)
-    gt = np.asarray(gt)
-    log(f"ground truth ({time.time() - t0:.1f}s)")
+    gt_cache = f"/tmp/bench_gt_{cfg_name}_{n}_{nq}_{K}.npy"
+    if os.path.exists(gt_cache):
+        gt = np.load(gt_cache)
+        xd = qd = None
+        log(f"ground truth (cached, {gt_cache})")
+    else:
+        xd = jnp.asarray(x)
+        qd = jnp.asarray(queries)
+        _, gt = brute_force_topk(qd, xd, K, metric=metric)
+        gt = np.asarray(gt)
+        np.save(gt_cache, gt)
+        log(f"ground truth ({time.time() - t0:.1f}s)")
 
     raw_bytes = n * d * 4
     ref_rule = hnsw_memory_rule(n, d)
@@ -128,6 +135,8 @@ def main():
 
     if engine == "brute":
         del xd
+        if qd is None:
+            qd = jnp.asarray(queries)
         t0 = time.time()
         xb = jnp.asarray(x)
         norms = squared_norms(xb)

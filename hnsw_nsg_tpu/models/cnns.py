@@ -367,6 +367,23 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
     return topk_smallest(out_d, out_i, k)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "nprobe", "rank_by", "route_m",
+                     "cap", "block", "approx"),
+)
+def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
+                     nprobe, rank_by, route_m, cap, block, approx):
+    """Route + grouped scan as ONE device program: per-dispatch overhead
+    on the tunneled TPU is ~30-50 ms, a large fraction of a ~100 ms
+    batch, so the two stages fuse."""
+    visit = _route_clusters(q, reps, nprobe, metric, rank_by, route_m)
+    return _grouped_probe_search(
+        q, visit, data_c, ids_c, cnorms_c, k, metric,
+        cap=cap, block=block, approx=approx,
+    )
+
+
 @dataclasses.dataclass
 class CNNSIndex:
     reps: jax.Array          # [C, m+1, d] centroid + m member reps
@@ -420,10 +437,28 @@ class CNNSIndex:
         if q.ndim == 1:
             q = q[None]
         nprobe = nprobe or max(1, self.n_clusters // 8)
-        visit = self._route(q, nprobe, rank_by, route_m)  # [Q, V]
 
         if self.local_index == "flat":
-            return self._search_flat(q, visit, k, group)
+            c = self.data_c.shape[0]
+            pairs = q.shape[0] * min(nprobe, self.n_clusters)
+            if group is None:
+                group = pairs >= 2 * c and c % 64 == 0
+            if group and c % 64 == 0:
+                cap = 8
+                while cap * c < 2 * pairs and cap < 512:
+                    cap *= 2
+                cnorms = (
+                    self.cnorms_c if self.cnorms_c is not None
+                    else jnp.zeros(self.ids_c.shape, jnp.float32)
+                )
+                return _route_and_group(
+                    q, self.reps, self.data_c, self.ids_c, cnorms, k,
+                    self.metric, min(nprobe, self.n_clusters), rank_by,
+                    route_m, cap, 64, True,
+                )
+        visit = self._route(q, nprobe, rank_by, route_m)  # [Q, V]
+        if self.local_index == "flat":
+            return self._search_flat(q, visit, k, group=False)
         return self._search_nsg(q, visit, k, l_search, expand)
 
     def _search_flat(self, q, visit, k, group=None):
