@@ -53,10 +53,12 @@ from ..ops.bruteforce import knn_graph_exact
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nprobe", "metric", "rank_by", "route_m")
+    jax.jit,
+    static_argnames=("nprobe", "metric", "rank_by", "route_m", "n_valid"),
 )
 def _route_clusters(q, reps, nprobe: int, metric: str, rank_by="hits",
-                    route_m: int | None = None):
+                    route_m: int | None = None,
+                    n_valid: int | None = None):
     """Rank clusters for probing. rank_by="hits": representative hit count
     (reference default, cluster_hnsw_nsg_search.cpp:146-173), ties broken by
     best rep rank; rank_by="min_dist": closest-representative order (the
@@ -77,6 +79,15 @@ def _route_clusters(q, reps, nprobe: int, metric: str, rank_by="hits",
         q.astype(jnp.bfloat16), rep_flat.astype(jnp.bfloat16),
         metric, exact=False,
     )
+    if n_valid is not None and n_valid < c:
+        # padded sentinel reps cannot be excluded by value alone: a
+        # huge-magnitude vector has huge |inner product| too, so for the
+        # ip metric it would WIN routing for half the queries — mask
+        # padded clusters by index instead
+        col_cid = jax.lax.broadcasted_iota(
+            jnp.int32, (1, c * m1), 1
+        ) // m1
+        rd = jnp.where(col_cid >= n_valid, PAD_DIST, rd)
     n_rep = min(nprobe * m1, c * m1)
     if c * m1 > 4 * n_rep and c * m1 >= 256:
         _, rep_idx = jax.lax.approx_max_k(
@@ -370,14 +381,16 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "nprobe", "rank_by", "route_m",
-                     "cap", "block", "approx"),
+                     "cap", "block", "approx", "n_valid"),
 )
 def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
-                     nprobe, rank_by, route_m, cap, block, approx):
+                     nprobe, rank_by, route_m, cap, block, approx,
+                     n_valid=None):
     """Route + grouped scan as ONE device program: per-dispatch overhead
     on the tunneled TPU is ~30-50 ms, a large fraction of a ~100 ms
     batch, so the two stages fuse."""
-    visit = _route_clusters(q, reps, nprobe, metric, rank_by, route_m)
+    visit = _route_clusters(q, reps, nprobe, metric, rank_by, route_m,
+                            n_valid=n_valid)
     return _grouped_probe_search(
         q, visit, data_c, ids_c, cnorms_c, k, metric,
         cap=cap, block=block, approx=approx,
@@ -392,12 +405,15 @@ class CNNSIndex:
     sizes: np.ndarray        # [C]
     metric: str = "l2"
     local_index: str = "flat"
+    n_real: int | None = None    # clusters before slab-count padding
     # nsg-local arena (flat layout, intra-cluster edges in flat ids)
     flat_adj: jax.Array | None = None   # [C*maxc, R]
     eps_flat: np.ndarray | None = None  # [C] entry points in flat ids
     cnorms_c: jax.Array | None = None   # [C, maxc] cached cluster norms
 
     def __post_init__(self):
+        if self.n_real is None:
+            self.n_real = self.reps.shape[0]
         if self.cnorms_c is None and self.metric == "l2":
             # squared_norms upcasts, so bf16 slabs still get f32 norms
             self.cnorms_c = squared_norms(self.data_c)
@@ -413,7 +429,8 @@ class CNNSIndex:
     def _route(self, q: jax.Array, nprobe: int, rank_by: str = "hits",
                route_m: int | None = None):
         return _route_clusters(
-            q, self.reps, nprobe, self.metric, rank_by, route_m
+            q, self.reps, nprobe, self.metric, rank_by, route_m,
+            n_valid=self.n_real,
         )
 
     def search(
@@ -436,11 +453,13 @@ class CNNSIndex:
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
-        nprobe = nprobe or max(1, self.n_clusters // 8)
+        nprobe = nprobe or max(1, (self.n_real or self.n_clusters) // 8)
+        n_real = self.n_real or self.n_clusters
+        nprobe = min(nprobe, n_real)
 
         if self.local_index == "flat":
             c = self.data_c.shape[0]
-            pairs = q.shape[0] * min(nprobe, self.n_clusters)
+            pairs = q.shape[0] * nprobe
             if group is None:
                 group = pairs >= 2 * c and c % 64 == 0
             if group and c % 64 == 0:
@@ -453,8 +472,8 @@ class CNNSIndex:
                 )
                 return _route_and_group(
                     q, self.reps, self.data_c, self.ids_c, cnorms, k,
-                    self.metric, min(nprobe, self.n_clusters), rank_by,
-                    route_m, cap, 64, True,
+                    self.metric, nprobe, rank_by,
+                    route_m, cap, 64, True, n_real,
                 )
         visit = self._route(q, nprobe, rank_by, route_m)  # [Q, V]
         if self.local_index == "flat":
@@ -519,6 +538,7 @@ class CNNSIndex:
             d_np = d_np.view(np.uint16)
         np.savez(
             path,
+            n_real=np.int64(self.n_real or self.reps.shape[0]),
             slab_dtype=self.data_c.dtype.name,
             reps=np.asarray(self.reps),
             data_c=d_np,
@@ -540,6 +560,7 @@ class CNNSIndex:
         if "slab_dtype" in z and str(z["slab_dtype"]) == "bfloat16":
             d_np = jnp.asarray(d_np).view(jnp.bfloat16)
         return cls(
+            n_real=(int(z["n_real"]) if "n_real" in z else None),
             reps=jnp.asarray(z["reps"]),
             data_c=jnp.asarray(d_np),
             ids_c=jnp.asarray(z["ids_c"]),
@@ -645,6 +666,7 @@ def build_cnns(
                 print(f"cluster {ci + 1}/{c}: NSG built over {sz} points")
         flat_adj = jnp.asarray(flat_adj_np)
 
+    n_real = c
     # pad the slab count to a multiple of 64 so the grouped cluster-major
     # sweep can use contiguous fixed-size blocks; padded slabs have
     # far-away representatives (never probed), PAD ids, zero data
@@ -676,6 +698,7 @@ def build_cnns(
         slab_dtype = jnp.float32
     cnorms = squared_norms(jnp.asarray(data_c)) if metric == "l2" else None
     return CNNSIndex(
+        n_real=n_real,
         reps=jnp.asarray(reps),
         data_c=jnp.asarray(data_c).astype(slab_dtype),
         ids_c=jnp.asarray(ids_c),
