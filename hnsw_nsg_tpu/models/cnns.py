@@ -572,6 +572,36 @@ class CNNSIndex:
         )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+def _fill_slab_chunk(buf, nrm, blk, start):
+    buf = jax.lax.dynamic_update_slice(
+        buf, blk.astype(buf.dtype), (start, 0, 0)
+    )
+    if nrm is not None:
+        nrm = jax.lax.dynamic_update_slice(
+            nrm, squared_norms(blk), (start, 0)
+        )
+    return buf, nrm
+
+
+def _fill_device_slabs(data_c_np, slab_dtype, metric, chunk: int = 64):
+    c, maxc, d = data_c_np.shape
+    buf = jnp.zeros((c, maxc, d), slab_dtype)
+    nrm = jnp.zeros((c, maxc), jnp.float32) if metric == "l2" else None
+    if c <= chunk:
+        return _fill_slab_chunk(
+            buf, nrm, jnp.asarray(data_c_np), jnp.int32(0)
+        )
+    starts = list(range(0, c - chunk + 1, chunk))
+    if starts[-1] + chunk < c:
+        starts.append(c - chunk)
+    for s in starts:
+        buf, nrm = _fill_slab_chunk(
+            buf, nrm, jnp.asarray(data_c_np[s : s + chunk]), jnp.int32(s)
+        )
+    return buf, nrm
+
+
 def build_cnns(
     data,
     cfg: CNNSConfig = CNNSConfig(),
@@ -588,15 +618,19 @@ def build_cnns(
     the probe-slot gather moves — the entire cost of flat search — for
     ~2x QPS; ranking then carries bf16 rounding (norms stay f32), so it
     is the benchmark/production mode, gated on measured recall."""
-    data = jnp.asarray(data)
-    n, d = data.shape
+    data_np = np.asarray(data, np.float32)
+    n, d = data_np.shape
     rng = np.random.default_rng(seed)
 
+    data_dev = jnp.asarray(data_np)
     centroids, assign = kmeans(
-        data, cfg.n_clusters, iters=cfg.kmeans_iters, seed=seed
+        data_dev, cfg.n_clusters, iters=cfg.kmeans_iters, seed=seed
     )
     assign = np.asarray(assign)
     k0 = centroids.shape[0]
+    # free the k-means device copy before the slab tensor allocates: at
+    # Deep10M scale both do not fit HBM together
+    del data_dev, data
 
     # slab layout: oversized clusters are split into multiple slabs so the
     # common pad width maxc stays ~2x the mean cluster size — padding width
@@ -618,7 +652,6 @@ def build_cnns(
     slab_row = slab_base[cluster_of_point] + off_in_cluster // maxc
     slot = off_in_cluster % maxc
 
-    data_np = np.asarray(data)
     ids_c = np.full((c, maxc), PAD_ID, np.int32)
     ids_c[slab_row, slot] = order
     data_c = np.zeros((c, maxc, d), np.float32)
@@ -696,11 +729,14 @@ def build_cnns(
 
     if slab_dtype is None:
         slab_dtype = jnp.float32
-    cnorms = squared_norms(jnp.asarray(data_c)) if metric == "l2" else None
+    # device slabs filled in chunks: one whole-tensor f32 transfer plus a
+    # separate cast allocates ~3x the slab bytes at once and OOMs HBM at
+    # Deep10M scale; chunked fill peaks at slab bytes + one chunk
+    slabs, cnorms = _fill_device_slabs(data_c, slab_dtype, metric)
     return CNNSIndex(
         n_real=n_real,
         reps=jnp.asarray(reps),
-        data_c=jnp.asarray(data_c).astype(slab_dtype),
+        data_c=slabs,
         ids_c=jnp.asarray(ids_c),
         sizes=sizes,
         metric=metric,
