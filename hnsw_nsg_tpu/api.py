@@ -146,6 +146,16 @@ class Index:
         )
         return labels, dists
 
+    def epsilon_query(self, data, epsilon: float,
+                      max_candidates: int = 128):
+        """Range search (EpsilonSearchStopCondition semantics,
+        stop_condition.h:218-275 via searchStopConditionClosest,
+        hnswalg.h:1327-1378): all points with distance <= epsilon among
+        the max_candidates closest explored. Returns (labels [Q, C]
+        -1-padded, dists [Q, C], counts [Q])."""
+        x = self._prep(data)
+        return self._require().epsilon_query(x, epsilon, max_candidates)
+
     def get_items(self, ids) -> np.ndarray:
         return self._require().get_items(ids)
 
@@ -345,3 +355,54 @@ class BFIndex:
         self._x = z["x"]
         self._labels = z["labels"]
         self.cap = max(int(z["cap"]), max_elements)
+
+
+class MultiVectorIndex(Index):
+    """Multivector document retrieval.
+
+    Reference: ``MultiVectorL2Space/InnerProductSpace`` append a document
+    id to each stored vector and ``MultiVectorSearchStopCondition``
+    returns the top-k *distinct* documents, each scored by its closest
+    vector (hnswlib/hnswlib/stop_condition.h:10-215, driven through
+    searchStopConditionClosest). Here the document id travels in a side
+    array instead of inside the vector payload — the graph is a plain
+    vector-level HNSW and the distinct-doc top-k is a post-discipline on
+    the beam (models/extensions.topk_distinct_docs)."""
+
+    def add_items(self, data, doc_ids, ids=None, **kwargs) -> None:
+        idx = self._require()
+        if not hasattr(self, "_docs"):
+            self._docs = np.full(idx.cap, -1, np.int64)
+        start = idx.n
+        super().add_items(data, ids=ids, **kwargs)
+        docs = np.asarray(doc_ids, np.int64).reshape(-1)
+        if len(docs) != idx.n - start:
+            raise ValueError("doc_ids must have one entry per vector")
+        if idx.cap > len(self._docs):
+            grown = np.full(idx.cap, -1, np.int64)
+            grown[: len(self._docs)] = self._docs
+            self._docs = grown
+        self._docs[start : idx.n] = docs
+
+    def knn_doc_query(self, data, k: int = 1, ef: int | None = None):
+        """Top-k distinct documents. Returns (doc_ids [Q, k] int64
+        -1-padded, dists [Q, k])."""
+        import jax.numpy as jnp
+        from .models.extensions import multivector_search
+        from .models.beam import greedy_descent
+
+        x = self._prep(data)
+        idx = self._require()
+        q = jnp.asarray(x)
+        cur = jnp.full((q.shape[0],), idx.ep, jnp.int32)
+        for lvl in range(idx.max_level, 0, -1):
+            cur, _ = greedy_descent(
+                q, idx.data, idx.norms, idx.adj_up[lvl - 1], cur,
+                metric=idx.metric,
+            )
+        width = max(ef or self.ef, 4 * k)
+        d, docs, _ = multivector_search(
+            q, idx.data, idx.norms, idx.adj0, cur[:, None],
+            jnp.asarray(self._docs), k, width=width, metric=idx.metric,
+        )
+        return np.asarray(docs), np.asarray(d)

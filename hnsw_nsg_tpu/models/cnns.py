@@ -95,9 +95,20 @@ def _route_clusters(q, reps, nprobe: int, metric: str, rank_by="hits",
         )
     else:
         _, rep_idx = jax.lax.top_k(-rd, n_rep)  # [Q, n_rep]
-    cid = rep_idx // m1                          # [Q, n_rep]
-    # hit count per slot's cluster; first-occurrence dedup
-    eq = cid[:, :, None] == cid[:, None, :]
+    return _rank_rep_hits(rep_idx, m1, nprobe, rank_by)
+
+
+@functools.partial(jax.jit, static_argnames=("m1", "nprobe", "rank_by"))
+def _rank_rep_hits(rep_idx, m1: int, nprobe: int, rank_by: str):
+    """Rep hit list [Q, n_rep] -> ranked visit list [Q, nprobe].
+
+    Shared by every router (flat GEMM or HNSW-over-reps): hit count per
+    cluster with first-occurrence dedup, ties broken by best rep rank
+    (cluster_hnsw_nsg_search.cpp:146-173), or pure rep-rank order for the
+    sort_by_min_dist ablation."""
+    n_rep = rep_idx.shape[1]
+    cid = jnp.where(rep_idx >= 0, rep_idx // m1, PAD_ID)   # [Q, n_rep]
+    eq = (cid[:, :, None] == cid[:, None, :]) & (cid[:, :, None] >= 0)
     counts = jnp.sum(eq, axis=2)
     first = ~jnp.any(
         eq & jnp.tril(jnp.ones((n_rep, n_rep), jnp.bool_), -1)[None],
@@ -109,7 +120,7 @@ def _route_clusters(q, reps, nprobe: int, metric: str, rank_by="hits",
         score = n_rep - rank
     else:
         score = counts * n_rep - rank
-    score = jnp.where(first, score, -1)
+    score = jnp.where(first & (cid >= 0), score, -1)
     _, order = jax.lax.top_k(score, min(nprobe, n_rep))
     visit = jnp.take_along_axis(cid, order, axis=1)
     got = jnp.take_along_axis(score, order, axis=1) >= 0
@@ -427,10 +438,46 @@ class CNNSIndex:
         return self.data_c.shape[1]
 
     def _route(self, q: jax.Array, nprobe: int, rank_by: str = "hits",
-               route_m: int | None = None):
+               route_m: int | None = None, router: str = "flat"):
+        if router == "hnsw":
+            return self._route_hnsw(q, nprobe, rank_by)
         return _route_clusters(
             q, self.reps, nprobe, self.metric, rank_by, route_m,
             n_valid=self.n_real,
+        )
+
+    def build_router_hnsw(self, M: int = 32, ef_construction: int = 100):
+        """HNSW over the representative points — the reference's actual
+        router (faiss IndexHNSWFlat(dim, M=32) over n_clusters*(m+1) reps,
+        cluster_IVF_nndescent.cpp:189-193). Exists for the router ablation
+        (cluster_hnsw_hnsw_search.cpp:129-265); on TPU the flat
+        representative GEMM is a single MXU pass and measures faster."""
+        from .hnsw import HNSWIndex
+        from ..utils.params import HNSWConfig
+
+        c, m1, d = self.reps.shape
+        n_real = self.n_real or c
+        reps_real = np.asarray(self.reps[:n_real]).reshape(n_real * m1, d)
+        idx = HNSWIndex(
+            d, n_real * m1,
+            HNSWConfig(M=M, ef_construction=ef_construction),
+            self.metric,
+        )
+        idx.add_items(reps_real)
+        self._router_hnsw = idx
+        return idx
+
+    def _route_hnsw(self, q, nprobe: int, rank_by: str = "hits"):
+        if getattr(self, "_router_hnsw", None) is None:
+            self.build_router_hnsw()
+        m1 = self.reps.shape[1]
+        n_rep = min(nprobe * m1, (self.n_real or self.n_clusters) * m1)
+        labels, _ = self._router_hnsw.knn_query(
+            np.asarray(q), k=n_rep, ef=max(2 * n_rep, 64)
+        )
+        # rep labels are sequential row ids -> rep index directly
+        return _rank_rep_hits(
+            jnp.asarray(labels.astype(np.int32)), m1, nprobe, rank_by
         )
 
     def search(
@@ -443,19 +490,31 @@ class CNNSIndex:
         rank_by: str = "hits",
         group: bool | None = None,
         route_m: int | None = None,
+        router: str = "flat",
     ):
         """Returns (dists [Q, k] exact, global ids [Q, k]).
 
         group: use the cluster-major grouped scan (each probed slab read
         once per batch) instead of the per-query slot scan. Default: auto —
         group when the batch is large enough that probe pairs per cluster
-        exceed ~2 (the regime where the per-query scan re-reads slabs)."""
+        exceed ~2 (the regime where the per-query scan re-reads slabs).
+
+        router: "flat" (one GEMM over the representatives — the
+        cluster_knn_* ablation and TPU default) or "hnsw" (graph walk over
+        the representatives — the reference's faiss router,
+        cluster_hnsw_*_search.cpp)."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
         nprobe = nprobe or max(1, (self.n_real or self.n_clusters) // 8)
         n_real = self.n_real or self.n_clusters
         nprobe = min(nprobe, n_real)
+
+        if router != "flat":
+            visit = self._route(q, nprobe, rank_by, route_m, router)
+            if self.local_index == "flat":
+                return self._search_flat(q, visit, k, group=group)
+            return self._search_nsg(q, visit, k, l_search, expand)
 
         if self.local_index == "flat":
             c = self.data_c.shape[0]
@@ -670,7 +729,36 @@ def build_cnns(
 
     flat_adj = None
     eps_flat = None
-    if local_index == "nsg":
+    if local_index == "hnsw":
+        # per-cluster HNSW local graphs (the cluster_hnsw_hnsw ablation,
+        # experiment_feature/cluster_hnsw_hnsw_search.cpp:129-265: faiss
+        # IndexHNSWFlat per cluster). Level-0 adjacencies land in the same
+        # flat arena the NSG local path uses; the upper levels collapse
+        # into the stored enterpoint since probed clusters are small
+        # enough that the shared lockstep beam replaces the descent.
+        from .hnsw import HNSWIndex
+        from ..utils.params import HNSWConfig
+
+        m_local = 8
+        flat_adj_np = np.full((c * maxc, 2 * m_local), PAD_ID, np.int32)
+        eps_flat = np.zeros(c, np.int64)
+        for ci in range(c):
+            sz = int(sizes[ci])
+            if sz <= 1:
+                eps_flat[ci] = ci * maxc
+                continue
+            hidx = HNSWIndex(
+                d, sz, HNSWConfig(M=m_local, ef_construction=60), metric,
+            )
+            hidx.add_items(data_c[ci, :sz])
+            adj_local = np.asarray(hidx.adj0[:sz])
+            remap = np.where(adj_local >= 0, adj_local + ci * maxc, PAD_ID)
+            flat_adj_np[ci * maxc : ci * maxc + sz] = remap
+            eps_flat[ci] = max(hidx.ep, 0) + ci * maxc
+            if verbose:
+                print(f"cluster {ci + 1}/{c}: HNSW built over {sz} points")
+        flat_adj = jnp.asarray(flat_adj_np)
+    elif local_index == "nsg":
         r_deg = cfg.nsg.R
         flat_adj_np = np.full((c * maxc, r_deg), PAD_ID, np.int32)
         eps_flat = np.zeros(c, np.int64)

@@ -656,6 +656,40 @@ class HNSWIndex:
         labels = np.where(i_np >= 0, self.labels[np.clip(i_np, 0, None)], -1)
         return labels, np.asarray(d)
 
+    def epsilon_query(
+        self,
+        queries,
+        epsilon: float,
+        max_candidates: int,
+        expand: int = 1,
+    ):
+        """Range search: every point with metric distance <= epsilon among
+        the ``max_candidates`` closest explored — ``searchStopConditionClosest``
+        + ``EpsilonSearchStopCondition`` (hnswalg.h:1327-1378,
+        stop_condition.h:218-275). Returns (labels [Q, C] int64 -1-padded,
+        dists [Q, C], counts [Q])."""
+        from .extensions import epsilon_search
+
+        if self.n == 0:
+            raise RuntimeError("cannot query an empty index")
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if q.ndim == 1:
+            q = q[None]
+        cur = jnp.full((q.shape[0],), self.ep, jnp.int32)
+        for lvl in range(self.max_level, 0, -1):
+            cur, _ = greedy_descent(
+                q, self.data, self.norms, self.adj_up[lvl - 1], cur,
+                metric=self.metric,
+            )
+        d, i, counts = epsilon_search(
+            q, self.data, self.norms, self.adj0, cur[:, None],
+            epsilon=epsilon, max_candidates=max_candidates,
+            metric=self.metric, expand=expand,
+        )
+        i_np = np.asarray(i)
+        labels = np.where(i_np >= 0, self.labels[np.clip(i_np, 0, None)], -1)
+        return labels, np.asarray(d), np.asarray(counts)
+
     # ------------------------------------------------------------------
     # mutation API (markDelete etc., hnswalg.h:853-992)
 

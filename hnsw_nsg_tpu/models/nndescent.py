@@ -40,6 +40,7 @@ from ..ops.bruteforce import brute_force_topk
 from ..ops.distance import PAD_DIST, PAD_ID, gathered_dists, squared_norms
 from ..ops.topk import merge_into_retset_sorted
 from ..utils.params import NNDescentConfig
+from .beam import beam_search
 
 
 def _sample_masked(key, mask, s):
@@ -97,32 +98,39 @@ def _iteration(
     r_new = _reverse_scatter(k_rn, s_new, n, r)
     r_old = _reverse_scatter(k_ro, s_old, n, r)
     partners = jnp.concatenate([s_new, s_old, r_new, r_old], axis=1)  # [N,W]
+    top_pool = pool_ids[:, :t] if t else None
 
-    # candidates: partners + each partner's sampled join lists (the faithful
-    # pull of join(w) contents: pairs within join(w) are exactly "u pulls
-    # w's samples" for u in join(w)) + top-T closest pool rows of each
-    # partner (neighbor-of-neighbor exploitation)
-    safe_p = jnp.where(partners >= 0, partners, 0)
-    pulled = jnp.concatenate(
-        [
-            jnp.take(s_new, safe_p, axis=0),
-            jnp.take(s_old, safe_p, axis=0),
-        ]
-        + ([jnp.take(pool_ids[:, :t], safe_p, axis=0)] if t else []),
-        axis=2,
-    )  # [N, W, 2S (+T)]
-    pulled = jnp.where(partners[:, :, None] >= 0, pulled, PAD_ID)
-    cand = jnp.concatenate([partners, pulled.reshape(n, -1)], axis=1)
-    self_ids = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 0)
-    # drop self references and padding-duplicate rows (ids >= n_valid)
-    cand = jnp.where((cand == self_ids) | (cand >= n_valid), PAD_ID, cand)
-
-    # chunked distance + merge (bounds the [chunk, C, d] gather)
+    # chunked distance + merge. The candidate tensor (partners + each
+    # partner's pulled join lists) is [N, W*(2S+T)] — ~7 GB at N=1M — so
+    # it is materialized PER CHUNK inside the map from the small global
+    # sample tables (s_new/s_old/top_pool are [N, S]/[N, T]).
     nb = n // chunk
     qn_all = norms if metric == "l2" else jnp.zeros_like(norms)
 
     def block_fn(args):
-        rows, cand_b, pd_b, pi_b, pn_b = args
+        rows, part_b, pd_b, pi_b, pn_b = args
+        # candidates: partners + each partner's sampled join lists (the
+        # faithful pull of join(w): pairs within join(w) are exactly
+        # "u pulls w's samples" for u in join(w)) + top-T closest pool
+        # rows of each partner (neighbor-of-neighbor exploitation)
+        safe_p = jnp.where(part_b >= 0, part_b, 0)
+        pulled = jnp.concatenate(
+            [
+                jnp.take(s_new, safe_p, axis=0),
+                jnp.take(s_old, safe_p, axis=0),
+            ]
+            + ([jnp.take(top_pool, safe_p, axis=0)]
+               if top_pool is not None else []),
+            axis=2,
+        )  # [B, W, 2S (+T)]
+        pulled = jnp.where(part_b[:, :, None] >= 0, pulled, PAD_ID)
+        cand_b = jnp.concatenate(
+            [part_b, pulled.reshape(rows.shape[0], -1)], axis=1
+        )
+        # drop self references and padding-duplicate rows (>= n_valid)
+        cand_b = jnp.where(
+            (cand_b == rows[:, None]) | (cand_b >= n_valid), PAD_ID, cand_b
+        )
         q = jnp.take(data, rows, axis=0)
         cd = gathered_dists(q, data, cand_b, metric, norms)
         if metric == "l2":
@@ -138,7 +146,7 @@ def _iteration(
         block_fn,
         (
             rows,
-            cand.reshape(nb, chunk, -1),
+            partners.reshape(nb, chunk, -1),
             pool_d.reshape(nb, chunk, l),
             pool_ids.reshape(nb, chunk, l),
             pool_new.reshape(nb, chunk, l),
@@ -272,3 +280,166 @@ def nn_descent(
     # padded duplicate rows may have slipped into pools as ids >= n_real
     out = np.where(out >= n_real, PAD_ID, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental kNN-graph insertion (GraphAdd)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("metric", "chunk"))
+def _pools_from_adj(data, norms, adj, metric, chunk):
+    """Exact pool distances for every adjacency row (the reference's
+    compact_to_Lockgraph, index_graph.cpp:483-497: each existing edge gets
+    its distance recomputed so bounded inserts can rank against it)."""
+    n, k = adj.shape
+    nb = n // chunk
+
+    def block_fn(args):
+        rows, adj_b = args
+        q = jnp.take(data, rows, axis=0)
+        cd = gathered_dists(q, data, adj_b, metric, norms)
+        if metric == "l2":
+            cd = cd + jnp.take(norms, rows, axis=0)[:, None]
+        return jnp.where(adj_b >= 0, cd, PAD_DIST)
+
+    rows = jnp.arange(n, dtype=jnp.int32).reshape(nb, chunk)
+    out = jax.lax.map(block_fn, (rows, adj.reshape(nb, chunk, k)))
+    return out.reshape(n, k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "l_add", "rrev", "max_hops"),
+    donate_argnums=(4, 5),
+)
+def _graph_add_batch(
+    key, data, norms, rows, adj, pool_d, n0, metric, l_add, rrev,
+    max_hops,
+):
+    """Insert one batch of new nodes into the growing graph.
+
+    rows: [B] global ids of this batch's new points (PAD_ID tail padding).
+    Semantics per get_neighbor_to_add (index_graph.cpp:430-479): an
+    l_add-wide beam over the current graph seeded with random old ids +
+    random new ids, then the top-K results become the new node's out-edges
+    and bounded reverse edges (parallel_graph_insert, :379-390). Reverse
+    inserts go through a random-slot candidate list + one retset merge —
+    collisions drop a candidate, the lock-free analogue of the reference's
+    racy bounded pools.
+    """
+    n_tot = data.shape[0]
+    k = adj.shape[1]
+    b = rows.shape[0]
+    safe_rows = jnp.where(rows >= 0, rows, 0)
+    q = jnp.take(data, safe_rows, axis=0)
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    h = l_add // 2
+    init_old = jax.random.randint(k1, (b, l_add - h), 0, n0, dtype=jnp.int32)
+    init_new = jax.random.randint(k2, (b, h), n0, n_tot, dtype=jnp.int32)
+    init = jnp.concatenate([init_old, init_new], axis=1)
+    init = jnp.where(init == rows[:, None], PAD_ID, init)
+
+    res = beam_search(
+        q, data, norms, adj, init, width=l_add, metric=metric,
+        max_hops=max_hops,
+    )
+    e_i = res.ids[:, :k]
+    e_d = res.dists[:, :k]
+    if metric == "l2":
+        e_d = e_d + jnp.take(norms, safe_rows, axis=0)[:, None]
+    valid = (e_i >= 0) & (e_i != rows[:, None]) & (rows >= 0)[:, None]
+    e_i = jnp.where(valid, e_i, PAD_ID)
+    e_d = jnp.where(valid, e_d, PAD_DIST)
+
+    # the batch rows' own pools (tail-padded rows scatter to a dropped slot)
+    dst_row = jnp.where(rows >= 0, rows, n_tot)
+    adj = adj.at[dst_row].set(e_i, mode="drop")
+    pool_d = pool_d.at[dst_row].set(e_d, mode="drop")
+
+    # bounded reverse inserts: rev[e_i[u,j], rand_col] = u
+    cols = jax.random.randint(k3, (b, k), 0, rrev, dtype=jnp.int32)
+    dst = jnp.where(valid, e_i, n_tot)
+    src = jnp.broadcast_to(rows[:, None], (b, k))
+    rev_i = jnp.full((n_tot, rrev), PAD_ID, jnp.int32).at[
+        dst.reshape(-1), cols.reshape(-1)
+    ].set(src.reshape(-1), mode="drop")
+    rev_d = jnp.full((n_tot, rrev), PAD_DIST, jnp.float32).at[
+        dst.reshape(-1), cols.reshape(-1)
+    ].set(e_d.reshape(-1), mode="drop")
+    no_flags = jnp.zeros_like(adj, dtype=jnp.bool_)
+    pool_d, adj, _ = merge_into_retset_sorted(
+        pool_d, adj, no_flags, rev_d, rev_i
+    )
+    return adj, pool_d
+
+
+def graph_add(
+    data,
+    adj,
+    new_data,
+    metric: str = "l2",
+    seed: int = 0,
+    l_add: int | None = None,
+    batch: int = 4096,
+    chunk: int = 4096,
+    max_hops: int = 128,
+):
+    """Append points to an existing kNN graph (``GraphAdd``,
+    CNNS/efanna_graph/src/index_graph.cpp:379-498).
+
+    data: [N0, d] points the graph was built over; adj: [N0, K] their kNN
+    adjacency (PAD_ID-padded); new_data: [B, d] points to insert.
+
+    TPU redesign: instead of per-point OMP threads mutating lock-guarded
+    pools, new points arrive in bulk-synchronous batches — each batch beam
+    searches the frozen graph of everything inserted so far, writes its
+    own top-K out-edges, and reverse edges land through one scattered
+    retset merge over all pools. Returns (data_all [N0+B, d],
+    adj_all [N0+B, K]) as numpy, adjacency rows distance-sorted (the
+    reference also returns pools re-sorted by distance).
+    """
+    data = np.asarray(data, np.float32)
+    new_data = np.asarray(new_data, np.float32)
+    n0, d = data.shape
+    n_new = new_data.shape[0]
+    k = adj.shape[1]
+    l_add = l_add or max(2 * k, 32)
+    batch = min(batch, max(n_new, 1))
+
+    data_all = jnp.asarray(np.concatenate([data, new_data], axis=0))
+    n_tot = n0 + n_new
+    norms = squared_norms(data_all)
+
+    # existing pools with exact distances; new rows start empty
+    c = min(chunk, n0)
+    while n0 % c:
+        c //= 2
+    pool0 = _pools_from_adj(
+        jnp.asarray(data), squared_norms(jnp.asarray(data)),
+        jnp.asarray(np.asarray(adj, np.int32)), metric, max(c, 1),
+    )
+    adj_all = jnp.concatenate([
+        jnp.asarray(np.asarray(adj, np.int32)),
+        jnp.full((n_new, k), PAD_ID, jnp.int32),
+    ])
+    pool_d = jnp.concatenate([
+        pool0, jnp.full((n_new, k), PAD_DIST, jnp.float32)
+    ])
+
+    key = jax.random.PRNGKey(seed)
+    rows_np = np.arange(n0, n_tot, dtype=np.int32)
+    nb = -(-n_new // batch)
+    pad = nb * batch - n_new
+    if pad:
+        rows_np = np.concatenate(
+            [rows_np, np.full(pad, PAD_ID, np.int32)]
+        )
+    for i in range(nb):
+        key, sub = jax.random.split(key)
+        adj_all, pool_d = _graph_add_batch(
+            sub, data_all, norms,
+            jnp.asarray(rows_np[i * batch : (i + 1) * batch]),
+            adj_all, pool_d, n0, metric, l_add, 2 * k, max_hops,
+        )
+    return np.asarray(data_all), np.asarray(adj_all)

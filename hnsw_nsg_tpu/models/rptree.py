@@ -129,6 +129,7 @@ def knn_graph_rp(
     refine: NNDescentConfig | None = None,
     pool_width: int | None = None,
     verbose: bool = False,
+    refine_chunk: int = 4096,
 ) -> np.ndarray:
     """Approximate kNN graph via merged RP-tree leaves (+ optional
     nn-descent refinement). Returns int32 [N, k].
@@ -174,6 +175,6 @@ def knn_graph_rp(
     if refine is not None:
         adj = nn_descent(
             np.asarray(data), refine, metric=metric, seed=seed + 1,
-            init_adj=adj, verbose=verbose,
+            init_adj=adj, verbose=verbose, chunk=refine_chunk,
         )
     return adj

