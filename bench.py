@@ -28,8 +28,9 @@ Engines (BENCH_ENGINE):
              has no index structure, so it is not the headline).
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_Q (8192), BENCH_CLUSTERS,
-BENCH_ENGINE, BENCH_CONFIG (sift1m | gist1m | glove | deep10m),
-BENCH_SLAB (bf16 | f32, cnns_flat only), BENCH_VERBOSE=1.
+BENCH_ENGINE, BENCH_CONFIG (sift1m | gist1m | glove | deep10m |
+sift10m_u8), BENCH_SLAB (bf16 | f32 | int8; cnns only — int8 is the
+default for uint8 configs and requires 0..255-valued data), BENCH_VERBOSE=1.
 """
 
 import json
@@ -56,6 +57,9 @@ CONFIGS = {
     "gist1m": dict(n=1_000_000, d=960, metric="l2"),
     "glove": dict(n=1_183_514, d=100, metric="ip"),
     "deep10m": dict(n=10_000_000, d=96, metric="l2"),
+    # sift_1b.cpp:243-344 uint8 configuration at the single-chip HBM
+    # scale: uint8 vectors stored as int8 slabs (exact integer MXU math)
+    "sift10m_u8": dict(n=10_000_000, d=128, metric="l2", uint8=True),
 }
 
 
@@ -64,7 +68,7 @@ def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
 
-def make_data(n, d, q, metric, seed=0):
+def make_data(n, d, q, metric, seed=0, uint8=False):
     """Clustered synthetic. Center scale 1.0 gives inter/intra distance
     ratio ~2 (mildly separated mixture) — round 1 used 2.0, which makes
     clusters near-disjoint: that flatters IVF-style routing and starves
@@ -81,6 +85,11 @@ def make_data(n, d, q, metric, seed=0):
         # GloVe-style: normalized vectors, inner-product ranking
         x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-9
         queries /= np.linalg.norm(queries, axis=1, keepdims=True) + 1e-9
+    if uint8:
+        # SIFT-style uint8 counts: shift/scale the mixture into 0..255
+        # and round (queries too — sift_1b queries are bvecs)
+        x = np.clip(x * 36 + 128, 0, 255).round()
+        queries = np.clip(queries * 36 + 128, 0, 255).round()
     return x.astype(np.float32), queries.astype(np.float32)
 
 
@@ -111,7 +120,7 @@ def main():
     n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 1024, 8)))
 
     t0 = time.time()
-    x, queries = make_data(n, d, nq, metric)
+    x, queries = make_data(n, d, nq, metric, uint8=cfg.get("uint8", False))
     log(f"data: {n}x{d} {metric}, {nq} queries ({time.time() - t0:.1f}s)")
 
     t0 = time.time()
@@ -200,15 +209,18 @@ def main():
         del xd
         t0 = time.time()
         local = "nsg" if engine == "cnns_nsg" else "flat"
+        slab = os.environ.get(
+            "BENCH_SLAB", "int8" if cfg.get("uint8") else "bf16"
+        )
+        build_dtype = jnp.int8 if slab == "int8" else None
         idx = build_cnns(
             x,
             CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12),
             metric=metric,
             local_index=local,
+            slab_dtype=build_dtype,
         )
-        if engine == "cnns_flat" and os.environ.get(
-            "BENCH_SLAB", "bf16"
-        ) == "bf16":
+        if engine == "cnns_flat" and slab == "bf16":
             idx = dataclasses.replace(
                 idx, data_c=idx.data_c.astype(jnp.bfloat16),
                 cnorms_c=idx.cnorms_c,

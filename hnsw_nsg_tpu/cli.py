@@ -98,6 +98,40 @@ def cmd_build_clusters(args):
     print(f"wrote artifacts under {args.prefix}")
 
 
+def cmd_build_knn(args):
+    """Standalone kNN-graph build (efanna drivers test_nndescent.cpp:29
+    ``data_file save_graph K L iter S R`` and test_kdtree_graph.cpp).
+
+    Methods: ``ivf`` (cluster-join, the TPU-native large-N path —
+    models/knn_ivf.py), ``rp`` (rp-trees + nn-descent refine, the
+    kdtree+nndescent analogue), ``exact`` (brute-force oracle)."""
+    data = _load_vectors(args.data)
+    t0 = time.time()
+    if args.method == "exact":
+        from .ops.bruteforce import knn_graph_exact
+
+        adj = np.asarray(knn_graph_exact(data, args.K, query_block=4096))
+    elif args.method == "rp":
+        from .models.rptree import knn_graph_rp
+
+        refine = None
+        if args.iter:
+            refine = NNDescentConfig(K=args.K, L=args.L, iters=args.iter,
+                                     S=args.S, R=args.R)
+        adj = np.asarray(knn_graph_rp(
+            data, args.K, n_trees=args.trees, refine=refine,
+        ))
+    else:
+        from .models.knn_ivf import knn_graph_ivf
+
+        adj = knn_graph_ivf(
+            data, args.K, n_clusters=args.n_clusters, probes=args.probes,
+        )
+    print(f"knn graph ({args.method}): {len(data)} pts K={args.K} "
+          f"({time.time() - t0:.1f}s)")
+    io.write_knn_graph(args.out, adj)
+
+
 def cmd_build_nsg(args):
     from .models.nsg import build_nsg
 
@@ -323,6 +357,24 @@ def main(argv=None):
     s.add_argument("prefix")
     s.add_argument("--kmeans-iters", type=int, default=15)
     s.set_defaults(fn=cmd_build_clusters)
+
+    # efanna test_nndescent.cpp:29 argv: data_file save_graph K L iter S R
+    s = sub.add_parser("build-knn")
+    s.add_argument("data")
+    s.add_argument("out")
+    s.add_argument("K", type=int)
+    s.add_argument("--method", choices=("ivf", "rp", "exact"),
+                   default="ivf")
+    s.add_argument("--L", type=int, default=100)
+    s.add_argument("--iter", type=int, default=0,
+                   help="nn-descent refine iters (rp method)")
+    s.add_argument("--S", type=int, default=10)
+    s.add_argument("--R", type=int, default=100)
+    s.add_argument("--trees", type=int, default=8)
+    s.add_argument("--n-clusters", type=int, default=None,
+                   dest="n_clusters")
+    s.add_argument("--probes", type=int, default=8)
+    s.set_defaults(fn=cmd_build_knn)
 
     s = sub.add_parser("build-nsg")
     s.add_argument("prefix")

@@ -127,6 +127,27 @@ def _rank_rep_hits(rep_idx, m1: int, nprobe: int, rank_by: str):
     return jnp.where(got, visit, PAD_ID)
 
 
+def _cast_q(qf, slab_dtype):
+    """Queries in the slab's compute dtype. int8 slabs (uint8 spaces
+    stored shift-by-128, sift_1b.cpp:243-247 analogue) round the
+    already-integral shifted queries; everything else is a plain cast."""
+    if slab_dtype == jnp.int8:
+        return jnp.round(qf).astype(jnp.int8)
+    return qf.astype(slab_dtype)
+
+
+def _einsum_operands(qb, slab):
+    """XLA einsum operands + precision for a slab block: int8 is computed
+    exactly as f32 (values are small integers; the MXU int path is the
+    Pallas kernel's job), f32 stays HIGHEST, bf16 native."""
+    if slab.dtype == jnp.int8:
+        return (qb.astype(jnp.float32), slab.astype(jnp.float32),
+                jax.lax.Precision.HIGHEST)
+    if slab.dtype == jnp.float32:
+        return qb, slab, jax.lax.Precision.HIGHEST
+    return qb, slab, jax.lax.Precision.DEFAULT
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "metric", "q_block")
 )
@@ -155,7 +176,7 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         # dots in the slab dtype: with bf16 slabs the gather moves half
         # the bytes (the probe-slot gather is the whole cost of this
         # search) and the MXU runs at full rate; norms stay exact f32
-        qc = qf.astype(data_c.dtype)
+        qc = _cast_q(qf, data_c.dtype)
 
         def slot_fn(carry, cid):
             best_d, best_i = carry
@@ -163,12 +184,11 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
             safe = jnp.where(ok, cid, 0)
             xc = jnp.take(data_c, safe, axis=0)    # [B, maxc, d]
             ic = jnp.take(ids_c, safe, axis=0)     # [B, maxc]
+            qe, xe, prec = _einsum_operands(qc, xc)
             dots = jnp.einsum(
-                "qd,qmd->qm", qc, xc,
+                "qd,qmd->qm", qe, xe,
                 preferred_element_type=jnp.float32,
-                precision=(jax.lax.Precision.HIGHEST
-                           if data_c.dtype == jnp.float32
-                           else jax.lax.Precision.DEFAULT),
+                precision=prec,
             )
             if metric in ("ip", "cosine"):
                 d = 1.0 - dots
@@ -197,10 +217,11 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "cap", "block", "approx"),
+    static_argnames=("k", "metric", "cap", "block", "approx", "pallas"),
 )
 def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
-                          cap: int, block: int, approx: bool):
+                          cap: int, block: int, approx: bool,
+                          pallas: bool = False):
     """Inverted, cluster-major probe scan.
 
     The per-query slot scan (_flat_probe_search) gathers each probed slab
@@ -225,7 +246,7 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
     c, maxc = ids_c.shape
     npr = visit.shape[1]
     qf = q.astype(jnp.float32)
-    qc = qf.astype(data_c.dtype)
+    qc = _cast_q(qf, data_c.dtype)
 
     # ---- invert: (cluster, query) pairs sorted by (cluster, probe rank)
     # -> [C, cap] query lists. Ranking by probe rank makes any capacity
@@ -261,55 +282,34 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         0,
     )                                                  # [C, cap, d]
 
-    # ---- contiguous slab sweep, one cluster block per scan step
-    nb = c // block
+    # ---- contiguous slab sweep
+    if pallas:
+        # fused Pallas kernel: per-cluster MXU GEMM + in-VMEM exact top-k
+        # (ops/pallas_scan.py) — no [cap, maxc] HBM materialization, no
+        # separate top_k pass (the XLA sweep below measures 30-60x above
+        # roofline; the kernel is the production path on TPU)
+        from ..ops.pallas_scan import grouped_cluster_topk
 
-    def blk(_, i):
-        slab = jax.lax.dynamic_slice(
-            data_c, (i * block, 0, 0), (block, maxc, d)
-        )
-        ids_b = jax.lax.dynamic_slice(ids_c, (i * block, 0), (block, maxc))
-        qb = jax.lax.dynamic_slice(qv, (i * block, 0, 0), (block, cap, d))
-        live = jax.lax.dynamic_slice(
-            qidx, (i * block, 0), (block, cap)
-        ) >= 0
-        dots = jnp.einsum(
-            "bcd,bmd->bcm", qb, slab,
-            preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.HIGHEST
-                       if data_c.dtype == jnp.float32
-                       else jax.lax.Precision.DEFAULT),
-        )
         if metric in ("ip", "cosine"):
-            dist = 1.0 - dots
+            bias = jnp.where(ids_c >= 0, 1.0, jnp.inf).astype(jnp.float32)
+            scale = 1.0
         else:
-            nrm = jax.lax.dynamic_slice(
-                cnorms_c, (i * block, 0), (block, maxc)
-            )
-            dist = nrm[:, None, :] - 2.0 * dots
-        dist = jnp.where(
-            (ids_b >= 0)[:, None, :] & live[:, :, None], dist, PAD_DIST
+            bias = jnp.where(
+                ids_c >= 0, cnorms_c, jnp.inf
+            ).astype(jnp.float32)
+            scale = 2.0
+        td, li = grouped_cluster_topk(
+            qv, data_c, bias, k, scale,
+            interpret=jax.default_backend() == "cpu",
         )
-        flat = dist.reshape(block * cap, maxc)
-        if approx:
-            neg, ti = jax.lax.approx_max_k(-flat, k, recall_target=0.99)
-        else:
-            neg, ti = jax.lax.top_k(-flat, k)
-        td = -neg
-        gi = jnp.take_along_axis(
-            jnp.broadcast_to(
-                ids_b[:, None, :], (block, cap, maxc)
-            ).reshape(block * cap, maxc),
-            ti, axis=1,
+        gi = jnp.take_along_axis(ids_c[:, None, :], li, axis=2)
+        gi = jnp.where(jnp.isfinite(td), gi, PAD_ID)
+        td = jnp.where(jnp.isfinite(td), td, PAD_DIST)
+    else:
+        td, gi = _xla_slab_sweep(
+            qv, data_c, ids_c, cnorms_c, qidx, k, metric, cap, block,
+            approx,
         )
-        gi = jnp.where(td < PAD_DIST, gi, PAD_ID)
-        return None, (td.reshape(block, cap, k), gi.reshape(block, cap, k))
-
-    _, (td, gi) = jax.lax.scan(
-        blk, None, jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
-    )
-    td = td.reshape(c, cap, k)
-    gi = gi.reshape(c, cap, k)
 
     # ---- route results back to query rows and merge the probe slots
     safe_cid = jnp.where(ok, scid, 0)
@@ -344,12 +344,11 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         slab = jnp.take(data_c, pc_b, axis=0)       # [B, maxc, d]
         ic = jnp.take(ids_c, pc_b, axis=0)
         xq = jnp.take(qc, pq_b, axis=0)
+        qe, xe, prec = _einsum_operands(xq, slab)
         dots = jnp.einsum(
-            "pd,pmd->pm", xq, slab,
+            "pd,pmd->pm", qe, xe,
             preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.HIGHEST
-                       if data_c.dtype == jnp.float32
-                       else jax.lax.Precision.DEFAULT),
+            precision=prec,
         )
         if metric in ("ip", "cosine"):
             dist = 1.0 - dots
@@ -389,14 +388,69 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
     return topk_smallest(out_d, out_i, k)
 
 
+def _xla_slab_sweep(qv, data_c, ids_c, cnorms_c, qidx, k, metric,
+                    cap: int, block: int, approx: bool):
+    """XLA fallback sweep (CPU / debugging): scan over cluster blocks,
+    einsum + top_k per block. Exact lax.top_k by default — measured
+    FASTER than approx_max_k at the production shapes (PROGRESS.md)."""
+    c, maxc = ids_c.shape
+    d = data_c.shape[2]
+    nb = c // block
+
+    def blk(_, i):
+        slab = jax.lax.dynamic_slice(
+            data_c, (i * block, 0, 0), (block, maxc, d)
+        )
+        ids_b = jax.lax.dynamic_slice(ids_c, (i * block, 0), (block, maxc))
+        qb = jax.lax.dynamic_slice(qv, (i * block, 0, 0), (block, cap, d))
+        live = jax.lax.dynamic_slice(
+            qidx, (i * block, 0), (block, cap)
+        ) >= 0
+        qe, xe, prec = _einsum_operands(qb, slab)
+        dots = jnp.einsum(
+            "bcd,bmd->bcm", qe, xe,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        if metric in ("ip", "cosine"):
+            dist = 1.0 - dots
+        else:
+            nrm = jax.lax.dynamic_slice(
+                cnorms_c, (i * block, 0), (block, maxc)
+            )
+            dist = nrm[:, None, :] - 2.0 * dots
+        dist = jnp.where(
+            (ids_b >= 0)[:, None, :] & live[:, :, None], dist, PAD_DIST
+        )
+        flat = dist.reshape(block * cap, maxc)
+        if approx:
+            neg, ti = jax.lax.approx_max_k(-flat, k, recall_target=0.99)
+        else:
+            neg, ti = jax.lax.top_k(-flat, k)
+        td = -neg
+        gi = jnp.take_along_axis(
+            jnp.broadcast_to(
+                ids_b[:, None, :], (block, cap, maxc)
+            ).reshape(block * cap, maxc),
+            ti, axis=1,
+        )
+        gi = jnp.where(td < PAD_DIST, gi, PAD_ID)
+        return None, (td.reshape(block, cap, k), gi.reshape(block, cap, k))
+
+    _, (td, gi) = jax.lax.scan(
+        blk, None, jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0]
+    )
+    return td.reshape(c, cap, k), gi.reshape(c, cap, k)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "nprobe", "rank_by", "route_m",
-                     "cap", "block", "approx", "n_valid"),
+                     "cap", "block", "approx", "n_valid", "pallas"),
 )
 def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
                      nprobe, rank_by, route_m, cap, block, approx,
-                     n_valid=None):
+                     n_valid=None, pallas=False):
     """Route + grouped scan as ONE device program: per-dispatch overhead
     on the tunneled TPU is ~30-50 ms, a large fraction of a ~100 ms
     batch, so the two stages fuse."""
@@ -404,8 +458,14 @@ def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
                             n_valid=n_valid)
     return _grouped_probe_search(
         q, visit, data_c, ids_c, cnorms_c, k, metric,
-        cap=cap, block=block, approx=approx,
+        cap=cap, block=block, approx=approx, pallas=pallas,
     )
+
+
+def _default_pallas() -> bool:
+    """The fused Pallas sweep is the production path on TPU; the XLA
+    sweep serves CPU (tests) and debugging."""
+    return jax.default_backend() not in ("cpu",)
 
 
 @dataclasses.dataclass
@@ -417,6 +477,9 @@ class CNNSIndex:
     metric: str = "l2"
     local_index: str = "flat"
     n_real: int | None = None    # clusters before slab-count padding
+    # uint8 spaces (sift_1b.cpp:243-247): slabs stored int8 = x - qshift;
+    # queries get the same shift (L2 is shift-invariant, int8 MXU exact)
+    qshift: float = 0.0
     # nsg-local arena (flat layout, intra-cluster edges in flat ids)
     flat_adj: jax.Array | None = None   # [C*maxc, R]
     eps_flat: np.ndarray | None = None  # [C] entry points in flat ids
@@ -506,6 +569,8 @@ class CNNSIndex:
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
+        if self.qshift:
+            q = q - self.qshift   # reps/slabs are stored shifted
         nprobe = nprobe or max(1, (self.n_real or self.n_clusters) // 8)
         n_real = self.n_real or self.n_clusters
         nprobe = min(nprobe, n_real)
@@ -532,7 +597,8 @@ class CNNSIndex:
                 return _route_and_group(
                     q, self.reps, self.data_c, self.ids_c, cnorms, k,
                     self.metric, nprobe, rank_by,
-                    route_m, cap, 64, True, n_real,
+                    route_m, cap, 64, False, n_real,
+                    pallas=_default_pallas(),
                 )
         visit = self._route(q, nprobe, rank_by, route_m)  # [Q, V]
         if self.local_index == "flat":
@@ -554,7 +620,8 @@ class CNNSIndex:
                 cap *= 2
             return _grouped_probe_search(
                 q, visit, self.data_c, self.ids_c, cnorms, k,
-                self.metric, cap=cap, block=64, approx=True,
+                self.metric, cap=cap, block=64, approx=False,
+                pallas=_default_pallas(),
             )
         return _flat_probe_search(
             q, visit, self.data_c, self.ids_c, cnorms, k, self.metric
@@ -598,6 +665,7 @@ class CNNSIndex:
         np.savez(
             path,
             n_real=np.int64(self.n_real or self.reps.shape[0]),
+            qshift=np.float64(self.qshift),
             slab_dtype=self.data_c.dtype.name,
             reps=np.asarray(self.reps),
             data_c=d_np,
@@ -620,6 +688,7 @@ class CNNSIndex:
             d_np = jnp.asarray(d_np).view(jnp.bfloat16)
         return cls(
             n_real=(int(z["n_real"]) if "n_real" in z else None),
+            qshift=(float(z["qshift"]) if "qshift" in z else 0.0),
             reps=jnp.asarray(z["reps"]),
             data_c=jnp.asarray(d_np),
             ids_c=jnp.asarray(z["ids_c"]),
@@ -817,11 +886,22 @@ def build_cnns(
 
     if slab_dtype is None:
         slab_dtype = jnp.float32
+    qshift = 0.0
+    if slab_dtype == jnp.int8:
+        # uint8 space (L2SpaceI, space_l2.h:294-323; sift_1b.cpp uint8
+        # flow): store x-128 as int8 — L2 is shift-invariant, and the
+        # int8 MXU path is exact integer math. Values must be 0..255.
+        if metric != "l2":
+            raise ValueError("int8 slabs support the l2 metric only")
+        qshift = 128.0
+        data_c = data_c - np.float32(qshift)
+        reps = reps - np.float32(qshift)
     # device slabs filled in chunks: one whole-tensor f32 transfer plus a
     # separate cast allocates ~3x the slab bytes at once and OOMs HBM at
     # Deep10M scale; chunked fill peaks at slab bytes + one chunk
     slabs, cnorms = _fill_device_slabs(data_c, slab_dtype, metric)
     return CNNSIndex(
+        qshift=qshift,
         n_real=n_real,
         reps=jnp.asarray(reps),
         data_c=slabs,

@@ -67,6 +67,7 @@ class SpillCNNSIndex:
     def __init__(self, idx: CNNSIndex, hbm_budget_bytes: int,
                  group_pad: int = 8):
         self.metric = idx.metric
+        self.qshift = idx.qshift
         self.reps = idx.reps                       # device (router)
         self.n_real = idx.n_real or idx.reps.shape[0]
         self._route = idx._route
@@ -99,6 +100,8 @@ class SpillCNNSIndex:
         q = jnp.asarray(np.asarray(queries, np.float32))
         if q.ndim == 1:
             q = q[None]
+        if self.qshift:
+            q = q - self.qshift
         nprobe = min(nprobe, self.n_real)
         visit = np.asarray(self._route(q, nprobe, rank_by))   # [Q, V]
         nq = q.shape[0]

@@ -101,3 +101,21 @@ def test_hybrid_cli(workdir, capsys, tmp_path):
     assert "search_L" in out
     rows = json.load(open(result))
     assert rows[-1]["recall"] >= 0.85, rows
+
+
+def test_build_knn_cli(workdir, tmp_path, capsys):
+    """build-knn (efanna test_nndescent.cpp argv analogue): both the
+    cluster-join and exact methods write a readable .graph whose edges
+    overlap the exact graph."""
+    out_ivf = str(tmp_path / "knn_ivf.graph")
+    out_exact = str(tmp_path / "knn_exact.graph")
+    main(["build-knn", str(workdir / "base.fvecs"), out_exact, "10",
+          "--method", "exact"])
+    main(["build-knn", str(workdir / "base.fvecs"), out_ivf, "10",
+          "--method", "ivf", "--n-clusters", "6", "--probes", "4"])
+    capsys.readouterr()
+    g_ex = io.read_knn_graph(out_exact)
+    g_iv = io.read_knn_graph(out_ivf)
+    assert g_ex.shape == g_iv.shape == (1200, 10)
+    ov = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(g_iv, g_ex)])
+    assert ov >= 0.85, ov

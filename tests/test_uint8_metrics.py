@@ -3,6 +3,7 @@ metrics/observability utilities."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from hnsw_nsg_tpu.models.hnsw import HNSWIndex
 from hnsw_nsg_tpu.ops import brute_force_topk, recall
@@ -42,3 +43,58 @@ def test_stopwatch_and_memory():
     with timed() as t:
         sum(range(1000))
     assert t.elapsed >= 0
+
+
+class TestUint8CNNS:
+    """uint8 space through the CNNS pipeline: int8 slabs (x-128), exact
+    integer math (sift_1b.cpp:243-344 uint8 L2SpaceI analogue)."""
+
+    def test_int8_slabs_match_f32(self):
+        import jax.numpy as jnp
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+        from hnsw_nsg_tpu.ops import brute_force_topk, recall
+
+        rng = np.random.default_rng(5)
+        centers = rng.integers(40, 215, (16, 32))
+        xa = rng.integers(0, 16, 20_000)
+        x = np.clip(
+            centers[xa] + rng.normal(0, 20, (20_000, 32)), 0, 255
+        ).astype(np.uint8)
+        q = np.clip(
+            centers[rng.integers(0, 16, 96)]
+            + rng.normal(0, 20, (96, 32)), 0, 255
+        ).astype(np.uint8)
+
+        xf = x.astype(np.float32)
+        qf = q.astype(np.float32)
+        i8 = build_cnns(xf, CNNSConfig(n_clusters=16, m=2, kmeans_iters=6),
+                        slab_dtype=jnp.int8)
+        f32 = build_cnns(xf, CNNSConfig(n_clusters=16, m=2, kmeans_iters=6))
+        assert i8.qshift == 128.0 and i8.data_c.dtype == jnp.int8
+
+        d8, ids8 = i8.search(qf, k=10, nprobe=6)
+        df, idsf = f32.search(qf, k=10, nprobe=6)
+        _, gt = brute_force_topk(jnp.asarray(qf), jnp.asarray(xf), 10)
+        r8 = recall(np.asarray(ids8), np.asarray(gt))
+        rf = recall(np.asarray(idsf), np.asarray(gt))
+        # int8 math is exact on integer-valued data -> identical recall
+        assert r8 >= rf - 1e-6, (r8, rf)
+        # distances are exact integer L2^2
+        d8 = np.asarray(d8)
+        for r in range(8):
+            for j in range(10):
+                if ids8[r, j] >= 0:
+                    ref = ((qf[r] - xf[ids8[r, j]]) ** 2).sum()
+                    np.testing.assert_allclose(d8[r, j], ref, rtol=1e-6)
+
+    def test_int8_requires_l2(self):
+        import jax.numpy as jnp
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        rng = np.random.default_rng(6)
+        x = rng.random((2000, 16)).astype(np.float32)
+        with pytest.raises(ValueError, match="l2"):
+            build_cnns(x, CNNSConfig(n_clusters=8, m=1, kmeans_iters=3),
+                       metric="ip", slab_dtype=jnp.int8)
