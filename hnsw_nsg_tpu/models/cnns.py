@@ -276,19 +276,15 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         jnp.where(ok, scid, c), jnp.where(ok, pos, 0)
     ].set(jnp.where(ok, sq, PAD_ID), mode="drop")
 
-    qv = jnp.where(
-        (qidx >= 0)[:, :, None],
-        jnp.take(qc, jnp.where(qidx >= 0, qidx, 0), axis=0),
-        0,
-    )                                                  # [C, cap, d]
-
     # ---- contiguous slab sweep
     if pallas:
         # fused Pallas kernel: per-cluster MXU GEMM + in-VMEM exact top-k
         # (ops/pallas_scan.py) — no [cap, maxc] HBM materialization, no
-        # separate top_k pass (the XLA sweep below measures 30-60x above
-        # roofline; the kernel is the production path on TPU)
-        from ..ops.pallas_scan import grouped_cluster_topk
+        # separate top_k pass, and the per-slot query block is gathered
+        # ON the MXU via one-hot matmul instead of jnp.take's C*cap
+        # scattered row gathers (~0.75 us/row — ~100 ms at the bench
+        # shape, formerly the dominant cost of the whole search)
+        from ..ops.pallas_scan import grouped_cluster_topk_gq
 
         if metric in ("ip", "cosine"):
             bias = jnp.where(ids_c >= 0, 1.0, jnp.inf).astype(jnp.float32)
@@ -298,31 +294,64 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
                 ids_c >= 0, cnorms_c, jnp.inf
             ).astype(jnp.float32)
             scale = 2.0
-        td, li = grouped_cluster_topk(
-            qv, data_c, bias, k, scale,
+        td, li = grouped_cluster_topk_gq(
+            qc, qidx, data_c, bias, k, scale,
             interpret=jax.default_backend() == "cpu",
         )
+        live = (qidx >= 0)[:, :, None]
         gi = jnp.take_along_axis(ids_c[:, None, :], li, axis=2)
-        gi = jnp.where(jnp.isfinite(td), gi, PAD_ID)
-        td = jnp.where(jnp.isfinite(td), td, PAD_DIST)
+        gi = jnp.where(live & jnp.isfinite(td), gi, PAD_ID)
+        td = jnp.where(gi >= 0, td, PAD_DIST)
     else:
+        qv = jnp.where(
+            (qidx >= 0)[:, :, None],
+            jnp.take(qc, jnp.where(qidx >= 0, qidx, 0), axis=0),
+            0,
+        )                                              # [C, cap, d]
         td, gi = _xla_slab_sweep(
             qv, data_c, ids_c, cnorms_c, qidx, k, metric, cap, block,
             approx,
         )
 
-    # ---- route results back to query rows and merge the probe slots
+    # ---- route results back to query rows and merge the probe slots.
+    # (vals, ids) ride PACKED in one int32 [C, cap, 2k] tensor so the
+    # route-back costs ONE data-dependent row gather + ONE scatter
+    # instead of two of each (each [P]-row gather/scatter pays the
+    # ~0.75 us/row issue floor; P = qn*npr = 32k rows at the bench shape)
     safe_cid = jnp.where(ok, scid, 0)
     safe_pos = jnp.where(ok, pos, 0)
-    rd = jnp.where(ok[:, None], td[safe_cid, safe_pos], PAD_DIST)
-    ri = jnp.where(ok[:, None], gi[safe_cid, safe_pos], PAD_ID)
-    slot = jnp.where(flat_cid[order] >= 0, slot_iota[order], 0)
-    out_d = jnp.full((qn, npr, k), PAD_DIST, jnp.float32).at[
+    packed = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(td, jnp.int32), gi], axis=2
+    )                                                   # [C, cap, 2k]
+    rp = packed[safe_cid, safe_pos]                     # [P, 2k]
+    rd = jnp.where(
+        ok[:, None],
+        jax.lax.bitcast_convert_type(rp[:, :k], jnp.float32), PAD_DIST,
+    )
+    ri = jnp.where(ok[:, None], rp[:, k:], PAD_ID)
+    # invalid pairs (PAD cluster) target the out-of-bounds slot npr and
+    # are dropped, so they can never clobber a real (q, slot) cell
+    slot = jnp.where(flat_cid[order] >= 0, slot_iota[order], npr)
+    out_p = jnp.full((qn, npr, 2 * k), 0, jnp.int32).at[
         sq, slot
-    ].set(rd, mode="drop").reshape(qn, npr * k)
-    out_i = jnp.full((qn, npr, k), PAD_ID, jnp.int32).at[
-        sq, slot
-    ].set(ri, mode="drop").reshape(qn, npr * k)
+    ].set(
+        jnp.concatenate(
+            [jax.lax.bitcast_convert_type(rd, jnp.int32), ri], axis=1
+        ),
+        mode="drop",
+    )
+    out_d = jax.lax.bitcast_convert_type(
+        out_p[:, :, :k], jnp.float32
+    ).reshape(qn, npr * k)
+    out_i = out_p[:, :, k:].reshape(qn, npr * k)
+    # unset cells scatter-initialized to 0 bits: 0.0f dist / id 0 — mask
+    # them via the per-(q, slot) occupancy instead of sentinel init
+    occupied = jnp.zeros((qn, npr), jnp.bool_).at[sq, slot].set(
+        ok, mode="drop"
+    )
+    occ = jnp.repeat(occupied, k, axis=1)
+    out_d = jnp.where(occ & (out_i >= 0), out_d, PAD_DIST)
+    out_i = jnp.where(occ & (out_i >= 0), out_i, PAD_ID)
     if metric == "l2":
         out_d = jnp.where(
             out_i >= 0, out_d + squared_norms(qf)[:, None], PAD_DIST

@@ -67,6 +67,120 @@ def _scan_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
             dist = jnp.where(col == am[:, None], jnp.float32(jnp.inf), dist)
 
 
+def _scan_kernel_gq(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
+                    idx_ref, *, k: int, scale: float):
+    """Variant that gathers the cluster's query block ON the MXU.
+
+    The XLA path materializes qv[C, cap, d] with a data-dependent row
+    gather (jnp.take) — C*cap scattered ~256 B rows, which on this part
+    costs ~0.75 us/row (PROGRESS.md gather physics): ~100 ms at the
+    SIFT1M bench shape, dominating the whole scan. Here the gather is a
+    one-hot matmul instead: onehot[cap, qn] @ qc[qn, d] on the MXU
+    (2*cap*qn*d flops ~ 0.27 GF/cluster — ~2 ms total at C=1024), with
+    qc VMEM-resident across the whole grid. PAD slots (qidx < 0) match
+    no query -> all-zero rows, filtered by the caller's routing mask."""
+    qidx = qidx_ref[0, 0]              # [cap] int32
+    qc = qc_ref[...]                   # [qn, d]
+    cap = qidx.shape[0]
+    qn = qc.shape[0]
+    sel = (qidx[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (cap, qn), 1))
+    if qc.dtype == jnp.int8:
+        q = jax.lax.dot_general(
+            sel.astype(jnp.int8), qc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.int8)             # exact: one-hot row sums
+    else:
+        q = jax.lax.dot_general(
+            sel.astype(qc.dtype), qc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(qc.dtype)             # [cap, d]
+    s = slab_ref[0]                    # [maxc, d]
+    if q.dtype == jnp.int8:
+        dots = jax.lax.dot_general(
+            q, s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dots = jax.lax.dot_general(
+            q, s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dist = bias_ref[0] - jnp.float32(scale) * dots
+    cap, maxc = dist.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (cap, maxc), 1)
+    for j in range(k):
+        m = jnp.min(dist, axis=1)
+        am = jnp.argmin(dist, axis=1).astype(jnp.int32)
+        vals_ref[0, :, j] = m
+        idx_ref[0, :, j] = am
+        if j + 1 < k:
+            dist = jnp.where(col == am[:, None], jnp.float32(jnp.inf), dist)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "scale", "interpret")
+)
+def grouped_cluster_topk_gq(
+    qc: jax.Array,      # [qn, d] all queries (slab dtype)
+    qidx: jax.Array,    # [C, cap] int32 query ids per cluster slot (-1 pad)
+    slabs: jax.Array,   # [C, maxc, d]
+    bias: jax.Array,    # [C, maxc] f32: l2 norms / ip 1.0, +inf on pads
+    k: int,
+    scale: float,
+    interpret: bool = False,
+):
+    """grouped_cluster_topk with the query block gathered in-kernel via
+    one-hot MXU matmul (see _scan_kernel_gq). Returns (vals [C, cap, k]
+    f32 ascending, idx [C, cap, k] int32 local slot ids); slots with
+    qidx < 0 carry garbage rows the caller must mask."""
+    c, cap = qidx.shape
+    qn, d = qc.shape
+    maxc = slabs.shape[1]
+    kern = functools.partial(_scan_kernel_gq, k=k, scale=scale)
+    vals, idx = pl.pallas_call(
+        kern,
+        grid=(c,),
+        in_specs=[
+            # [C, 1, cap]: Mosaic requires a block's last two dims to be
+            # (8, 128)-divisible or equal to the array's — (1, cap)
+            # matches the array's trailing dims exactly
+            pl.BlockSpec((1, 1, cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole-array block, constant index_map: fetched once and
+            # VMEM-resident across the grid (qn*d*2 B ~ 2 MB at the
+            # bench shape)
+            pl.BlockSpec((qn, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maxc, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, maxc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cap, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, cap, k), jnp.float32),
+            jax.ShapeDtypeStruct((c, cap, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * cap * d * (maxc + qn),
+            bytes_accessed=(
+                slabs.size * slabs.dtype.itemsize
+                + qc.size * qc.dtype.itemsize
+                + c * maxc * 4 + 2 * c * cap * k * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qidx[:, None, :], qc, slabs, bias[:, None, :])
+    return vals, idx
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "scale", "interpret")
 )

@@ -72,3 +72,30 @@ def test_grouped_search_pallas_matches_xla(metric):
     np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_gq_kernel_matches_take_path():
+    """One-hot in-kernel query gather == explicit jnp.take gather."""
+    from hnsw_nsg_tpu.ops.pallas_scan import grouped_cluster_topk_gq
+    rng = np.random.default_rng(3)
+    c, cap, maxc, d, k, qn = 4, 16, 64, 32, 8, 48
+    qc = jnp.asarray(rng.standard_normal((qn, d)).astype(np.float32))
+    qidx = np.full((c, cap), -1, np.int32)
+    for ci in range(c):
+        cnt = rng.integers(1, cap + 1)
+        qidx[ci, :cnt] = rng.choice(qn, cnt, replace=False)
+    qidx = jnp.asarray(qidx)
+    slabs = jnp.asarray(rng.standard_normal((c, maxc, d)).astype(np.float32))
+    norms = (np.asarray(slabs) ** 2).sum(-1)
+    bias = jnp.asarray(norms.astype(np.float32))
+    v_gq, i_gq = grouped_cluster_topk_gq(qc, qidx, slabs, bias, k, 2.0,
+                                         interpret=True)
+    qv = jnp.where((qidx >= 0)[:, :, None],
+                   jnp.take(qc, jnp.where(qidx >= 0, qidx, 0), axis=0), 0)
+    v_tk, i_tk = grouped_cluster_topk(qv, slabs, bias, k, 2.0,
+                                      interpret=True)
+    live = np.asarray(qidx) >= 0
+    np.testing.assert_allclose(np.asarray(v_gq)[live],
+                               np.asarray(v_tk)[live], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_gq)[live],
+                                  np.asarray(i_tk)[live])
