@@ -84,14 +84,18 @@ def cmd_build_clusters(args):
             K=min(cfg.K, len(members) - 1) if len(members) > 1 else 1,
             L=cfg.L, iters=cfg.iters, S=cfg.S, R=cfg.R,
         )
+        gpath = os.path.join(
+            args.prefix, "nndescent", f"nndescent_{ci}.graph"
+        )
+        # resume-after-failure: per-cluster artifacts are independent;
+        # skip the expensive graph build when its file already exists
+        # (the reference drivers' exists_test pattern, sift_1m.cpp:308)
+        if os.path.exists(gpath) and not args.force:
+            print(f"cluster {ci}: exists, skipped")
+            continue
         if len(members) > 1:
             adj = nn_descent(data[members], kcfg)
-            io.write_knn_graph(
-                os.path.join(
-                    args.prefix, "nndescent", f"nndescent_{ci}.graph"
-                ),
-                adj,
-            )
+            io.write_knn_graph(gpath, adj)
         print(f"cluster {ci}: {len(members)} pts "
               f"({time.time() - t0:.1f}s)")
     io.write_centroids(os.path.join(args.prefix, "centroids.fvecs"), reps)
@@ -142,6 +146,10 @@ def cmd_build_nsg(args):
         if not fname.endswith(".fvecs"):
             continue
         cid = fname[len("cluster_"):-len(".fvecs")]
+        npath = os.path.join(args.prefix, "nsg_graph", f"nsg_{cid}.nsg")
+        if os.path.exists(npath) and not args.force:
+            print(f"cluster {cid}: exists, skipped")
+            continue
         data = io.read_fvecs(os.path.join(cdir, fname))
         gpath = os.path.join(args.prefix, "nndescent",
                              f"nndescent_{cid}.graph")
@@ -150,9 +158,7 @@ def cmd_build_nsg(args):
         knn = io.read_knn_graph(gpath)
         t0 = time.time()
         nsg = build_nsg(data, knn, cfg, pad_to_bucket=True)
-        nsg.save_reference_format(
-            os.path.join(args.prefix, "nsg_graph", f"nsg_{cid}.nsg")
-        )
+        nsg.save_reference_format(npath)
         print(f"cluster {cid}: NSG over {len(data)} pts "
               f"({time.time() - t0:.1f}s)")
 
@@ -224,6 +230,9 @@ def cmd_search_clusters(args):
 def cmd_build_hnsw(args):
     from .models.hnsw import HNSWIndex
 
+    if os.path.exists(args.out) and not args.force:
+        print(f"{args.out}: exists, skipped (use --force to rebuild)")
+        return
     data = _load_vectors(args.data)
     idx = HNSWIndex(
         data.shape[1], len(data),
@@ -262,6 +271,11 @@ def cmd_build_hybrid(args):
     from .models.hybrid import HybridHNSWNSG
     from .utils.metrics import device_memory_stats
 
+    if (os.path.exists(f"{args.out}_hnsw.npz")
+            and os.path.exists(f"{args.out}_nsg.npz")
+            and not args.force):
+        print(f"{args.out}: exists, skipped (use --force to rebuild)")
+        return
     data = _load_vectors(args.data)
     hyb = HybridHNSWNSG(
         data.shape[1], len(data),
@@ -356,6 +370,8 @@ def main(argv=None):
     s.add_argument("R", type=int)
     s.add_argument("prefix")
     s.add_argument("--kmeans-iters", type=int, default=15)
+    s.add_argument("--force", action="store_true",
+                   help="rebuild even if artifacts exist")
     s.set_defaults(fn=cmd_build_clusters)
 
     # efanna test_nndescent.cpp:29 argv: data_file save_graph K L iter S R
@@ -381,6 +397,8 @@ def main(argv=None):
     s.add_argument("L", type=int)
     s.add_argument("R", type=int)
     s.add_argument("C", type=int)
+    s.add_argument("--force", action="store_true",
+                   help="rebuild even if artifacts exist")
     s.set_defaults(fn=cmd_build_nsg)
 
     s = sub.add_parser("search-clusters")
@@ -399,6 +417,8 @@ def main(argv=None):
     s.add_argument("--M", type=int, default=16)
     s.add_argument("--efc", type=int, default=200)
     s.add_argument("--batch", type=int, default=4096)
+    s.add_argument("--force", action="store_true",
+                   help="rebuild even if artifacts exist")
     s.set_defaults(fn=cmd_build_hnsw)
 
     s = sub.add_parser("search-hnsw")
@@ -421,6 +441,8 @@ def main(argv=None):
     s.add_argument("--C", type=int, default=500)
     s.add_argument("--knn-graph", help="prebuilt efanna kNN graph file")
     s.add_argument("--batch", type=int, default=4096)
+    s.add_argument("--force", action="store_true",
+                   help="rebuild even if artifacts exist")
     s.set_defaults(fn=cmd_build_hybrid)
 
     s = sub.add_parser("search-hybrid")

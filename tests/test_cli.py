@@ -119,3 +119,27 @@ def test_build_knn_cli(workdir, tmp_path, capsys):
     assert g_ex.shape == g_iv.shape == (1200, 10)
     ov = np.mean([len(set(a) & set(b)) / 10 for a, b in zip(g_iv, g_ex)])
     assert ov >= 0.85, ov
+
+
+def test_build_resumability(workdir, capsys):
+    """Re-running build-clusters / build-nsg skips existing per-cluster
+    artifacts (the reference drivers' exists_test pattern,
+    sift_1m.cpp:308-341) — a crashed build resumes where it stopped."""
+    prefix = str(workdir / "artifacts_resume")
+    argv = ["build-clusters", str(workdir / "base.fvecs"),
+            "4", "2", "12", "20", "5", "6", "8", prefix,
+            "--kmeans-iters", "8"]
+    main(argv)
+    capsys.readouterr()
+    # delete ONE cluster's graph: only that one is rebuilt
+    os.remove(os.path.join(prefix, "nndescent", "nndescent_1.graph"))
+    main(argv)
+    out = capsys.readouterr().out
+    assert out.count("exists, skipped") == 3
+    assert os.path.exists(
+        os.path.join(prefix, "nndescent", "nndescent_1.graph"))
+    main(["build-nsg", prefix, "16", "10", "60"])
+    capsys.readouterr()
+    main(["build-nsg", prefix, "16", "10", "60"])
+    out = capsys.readouterr().out
+    assert out.count("exists, skipped") == 4
