@@ -42,7 +42,7 @@ def _cluster_join(data_c, ids_c, cnorms_c, nbrs, k, metric,
                   row_chunk: int, interpret: bool):
     """For every cluster row block, exact top-k against the stacked slabs
     of its ``nbrs`` clusters. Returns (vals, global ids) [C, maxc, k]."""
-    from ..ops.pallas_scan import grouped_cluster_topk
+    from ..ops.pallas_scan import cluster_join_topk
 
     c, maxc, d = data_c.shape
     m = nbrs.shape[1]
@@ -58,28 +58,14 @@ def _cluster_join(data_c, ids_c, cnorms_c, nbrs, k, metric,
         bias = jnp.where(sids >= 0, snrm, jnp.inf).astype(jnp.float32)
         scale = 2.0
 
-    nrc = maxc // row_chunk
-
-    def chunk_fn(i, acc_v, acc_i):
-        qv = jax.lax.dynamic_slice(
-            data_c, (0, i * row_chunk, 0), (c, row_chunk, d)
-        )
-        v, li = grouped_cluster_topk(
-            qv, stack, bias, k, scale, interpret=interpret
-        )
-        gi = jnp.take_along_axis(sids[:, None, :], li, axis=2)
-        gi = jnp.where(jnp.isfinite(v), gi, PAD_ID)
-        v = jnp.where(jnp.isfinite(v), v, PAD_DIST)
-        acc_v = jax.lax.dynamic_update_slice(acc_v, v, (0, i * row_chunk, 0))
-        acc_i = jax.lax.dynamic_update_slice(acc_i, gi, (0, i * row_chunk, 0))
-        return acc_v, acc_i
-
-    acc_v = jnp.zeros((c, maxc, k), jnp.float32)
-    acc_i = jnp.full((c, maxc, k), PAD_ID, jnp.int32)
-    acc_v, acc_i = jax.lax.fori_loop(
-        0, nrc, lambda i, a: chunk_fn(i, *a), (acc_v, acc_i)
+    v, li = cluster_join_topk(
+        data_c, stack, bias, k, scale, row_chunk=row_chunk,
+        interpret=interpret,
     )
-    return acc_v, acc_i
+    gi = jnp.take_along_axis(sids[:, None, :], li, axis=2)
+    gi = jnp.where(jnp.isfinite(v), gi, PAD_ID)
+    v = jnp.where(jnp.isfinite(v), v, PAD_DIST)
+    return v, gi
 
 
 def knn_graph_ivf(

@@ -67,6 +67,67 @@ def _scan_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
             dist = jnp.where(col == am[:, None], jnp.float32(jnp.inf), dist)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "scale", "row_chunk", "interpret")
+)
+def cluster_join_topk(
+    qv: jax.Array,      # [C, maxc, d] per-cluster member rows
+    stacks: jax.Array,  # [C, mm, d] stacked candidate slabs
+    bias: jax.Array,    # [C, mm] f32 (+inf on pads)
+    k: int,
+    scale: float,
+    row_chunk: int = 128,
+    interpret: bool = False,
+):
+    """Row-chunked cluster join for kNN-graph construction
+    (models/knn_ivf.py): every member row of cluster c is scored against
+    c's stacked candidate slabs and reduced to top-k.
+
+    Grid is (C, maxc/row_chunk) with the row axis INNERMOST and the
+    stack's index_map constant along it: Mosaic elides the re-fetch of
+    an unchanged block between consecutive grid steps, so each cluster's
+    stack crosses HBM->VMEM once (~mm*d*2 B) instead of once per row
+    chunk — at the 1M build shape that is ~4 GB of traffic instead of
+    ~70 GB."""
+    c, maxc, d = qv.shape
+    mm = stacks.shape[1]
+    nrc = maxc // row_chunk
+    kern = functools.partial(_scan_kernel, k=k, scale=scale)
+    vals, idx = pl.pallas_call(
+        kern,
+        grid=(c, nrc),
+        in_specs=[
+            pl.BlockSpec((1, row_chunk, d), lambda i, r: (i, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mm, d), lambda i, r: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mm), lambda i, r: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, row_chunk, k), lambda i, r: (i, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_chunk, k), lambda i, r: (i, r, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, maxc, k), jnp.float32),
+            jax.ShapeDtypeStruct((c, maxc, k), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * maxc * mm * d,
+            bytes_accessed=(
+                stacks.size * stacks.dtype.itemsize
+                + qv.size * qv.dtype.itemsize
+                + c * mm * 4 + 2 * c * maxc * k * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qv, stacks, bias[:, None, :])
+    return vals, idx
+
+
 def _scan_kernel_gq(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
                     idx_ref, *, k: int, scale: float):
     """Variant that gathers the cluster's query block ON the MXU.

@@ -88,6 +88,7 @@ class TestCNNSNsg:
 
 
 class TestHybrid:
+    @pytest.mark.slow  # covered faster end-to-end by test_cli hybrid e2e
     def test_build_and_search(self, clustered):
         x, q = clustered
         hy = HybridHNSWNSG(
@@ -233,6 +234,7 @@ class TestRouterAndLocalAblations:
         assert r_hnsw >= r_flat - 0.05, (r_hnsw, r_flat)
         assert r_hnsw > 0.85
 
+    @pytest.mark.slow  # ablation-completeness path, not a production gate
     def test_hnsw_local_index(self, clustered):
         x, q, gt = clustered
         idx = build_cnns(

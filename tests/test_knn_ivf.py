@@ -9,9 +9,9 @@ from hnsw_nsg_tpu.models.knn_ivf import knn_graph_ivf
 def test_matches_exact_graph_quality():
     rng = np.random.default_rng(17)
     centers = rng.standard_normal((24, 32)).astype(np.float32)
-    x = (centers[rng.integers(0, 24, 20_000)]
-         + rng.standard_normal((20_000, 32))).astype(np.float32)
-    adj = knn_graph_ivf(x, 10, n_clusters=20, probes=6, seed=0)
+    x = (centers[rng.integers(0, 24, 9_000)]
+         + rng.standard_normal((9_000, 32))).astype(np.float32)
+    adj = knn_graph_ivf(x, 10, n_clusters=12, probes=6, seed=0)
     gt = np.asarray(knn_graph_exact(x, 10, query_block=4096))
     r = recall(adj, gt)
     assert r >= 0.9, f"cluster-join graph recall {r}"
@@ -23,7 +23,7 @@ def test_matches_exact_graph_quality():
 
 def test_uniform_data_needs_more_probes():
     rng = np.random.default_rng(18)
-    x = rng.standard_normal((8000, 16)).astype(np.float32)
+    x = rng.standard_normal((5000, 16)).astype(np.float32)
     gt = np.asarray(knn_graph_exact(x, 10, query_block=4096))
     r_lo = recall(knn_graph_ivf(x, 10, n_clusters=16, probes=2, seed=1), gt)
     r_hi = recall(knn_graph_ivf(x, 10, n_clusters=16, probes=8, seed=1), gt)

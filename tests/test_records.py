@@ -118,6 +118,7 @@ class TestHNSWAccel:
         idx.add_items(xs[:1], labels=np.array([99999]))
         assert idx._records is None
 
+    @pytest.mark.slow
     def test_accel_insert_recall_parity(self):
         """add_items(accel=True) builds through the record layout with
         exact re-distanced pools — graph quality must match plain build."""
