@@ -195,9 +195,12 @@ def cmd_search_clusters(args):
         data_c[ci, : len(datas[ci])] = datas[ci]
         ids_c[ci, : len(mappings[ci])] = mappings[ci]
 
-    use_nsg = args.local == "nsg" and all(g is not None for g in nsgs)
+    local = args.local
+    if local == "nsg" and not all(g is not None for g in nsgs):
+        local = "flat"
     flat_adj = eps_flat = None
-    if use_nsg:
+    sizes = np.array([len(d) for d in datas])
+    if local == "nsg":
         rmax = max(g[0].shape[1] for g in nsgs)
         flat_adj_np = np.full((c * maxc, rmax), PAD_ID, np.int32)
         eps_flat = np.zeros(c, np.int64)
@@ -206,22 +209,30 @@ def cmd_search_clusters(args):
             flat_adj_np[ci * maxc : ci * maxc + len(adj), : adj.shape[1]] = remap
             eps_flat[ci] = ep + ci * maxc
         flat_adj = jnp.asarray(flat_adj_np)
+    elif local == "hnsw":
+        # the cluster_hnsw_hnsw ablation: per-cluster HNSW graphs built
+        # over the loaded cluster data (the reference driver also builds
+        # them at search-driver level, cluster_hnsw_hnsw_search.cpp:129-)
+        from .models.cnns import local_hnsw_arena
+
+        flat_adj, eps_flat = local_hnsw_arena(data_c, sizes, "l2")
 
     idx = CNNSIndex(
         reps=jnp.asarray(reps), data_c=jnp.asarray(data_c),
         ids_c=jnp.asarray(ids_c),
-        sizes=np.array([len(d) for d in datas]),
-        local_index="nsg" if use_nsg else "flat",
+        sizes=sizes,
+        local_index=local,
         flat_adj=flat_adj, eps_flat=eps_flat,
     )
-    idx.search(queries[:8], k=args.k, nprobe=args.nprobe,
-               l_search=args.search_L)  # warm
+    kw = dict(k=args.k, nprobe=args.nprobe, l_search=args.search_L,
+              rank_by=args.rank_by, router=args.router)
+    idx.search(queries[:8], **kw)  # warm
     t0 = time.time()
-    d, i = idx.search(queries, k=args.k, nprobe=args.nprobe,
-                      l_search=args.search_L)
+    d, i = idx.search(queries, **kw)
     i = np.asarray(i)
     dt = time.time() - t0
-    out = {"qps": len(queries) / dt, "k": args.k, "nprobe": args.nprobe}
+    out = {"qps": len(queries) / dt, "k": args.k, "nprobe": args.nprobe,
+           "router": args.router, "local": local, "rank_by": args.rank_by}
     if gt is not None:
         out["recall"] = recall_fn(i, gt[:, : args.k])
     print(json.dumps(out))
@@ -408,7 +419,17 @@ def main(argv=None):
     s.add_argument("--k", type=int, default=100)
     s.add_argument("--nprobe", type=int, default=8)
     s.add_argument("--search-L", type=int, default=100, dest="search_L")
-    s.add_argument("--local", choices=("flat", "nsg"), default="nsg")
+    s.add_argument("--local", choices=("flat", "nsg", "hnsw"),
+                   default="nsg",
+                   help="per-cluster engine (the cluster_knn_*/"
+                        "cluster_hnsw_hnsw ablation axis)")
+    s.add_argument("--router", choices=("flat", "hnsw"), default="flat",
+                   help="representative routing: one GEMM (flat) or a "
+                        "graph walk over the reps (the reference's faiss "
+                        "router)")
+    s.add_argument("--rank-by", choices=("hits", "min_dist"),
+                   default="hits", dest="rank_by",
+                   help="cluster probe order (sort_by_min_dist ablation)")
     s.set_defaults(fn=cmd_search_clusters)
 
     s = sub.add_parser("build-hnsw")

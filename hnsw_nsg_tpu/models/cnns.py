@@ -42,7 +42,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distance import PAD_DIST, PAD_ID, pairwise_dists, squared_norms
+from ..ops.distance import (
+    PAD_DIST, PAD_ID, as_f32_queries, pairwise_dists, squared_norms,
+)
 from ..ops.topk import topk_smallest
 from ..utils.params import CNNSConfig, NSGBuildConfig
 from .beam import beam_search
@@ -595,9 +597,7 @@ class CNNSIndex:
         cluster_knn_* ablation and TPU default) or "hnsw" (graph walk over
         the representatives — the reference's faiss router,
         cluster_hnsw_*_search.cpp)."""
-        q = jnp.asarray(np.asarray(queries, np.float32))
-        if q.ndim == 1:
-            q = q[None]
+        q = as_f32_queries(queries)
         if self.qshift:
             q = q - self.qshift   # reps/slabs are stored shifted
         nprobe = nprobe or max(1, (self.n_real or self.n_clusters) // 8)
@@ -759,6 +759,47 @@ def _fill_device_slabs(data_c_np, slab_dtype, metric, chunk: int = 64):
     return buf, nrm
 
 
+def local_hnsw_arena(
+    data_c: np.ndarray,
+    sizes: np.ndarray,
+    metric: str,
+    m_local: int = 8,
+    ef_construction: int = 60,
+    verbose: bool = False,
+):
+    """Per-cluster HNSW local graphs (the cluster_hnsw_hnsw ablation,
+    experiment_feature/cluster_hnsw_hnsw_search.cpp:129-265: faiss
+    IndexHNSWFlat per cluster). Level-0 adjacencies land in the same
+    flat arena the NSG local path uses; the upper levels collapse into
+    the stored enterpoint since probed clusters are small enough that
+    the shared lockstep beam replaces the descent.
+
+    Returns (flat_adj [C*maxc, 2*m_local] device, eps_flat [C] int64)."""
+    from .hnsw import HNSWIndex
+    from ..utils.params import HNSWConfig
+
+    c, maxc, d = data_c.shape
+    flat_adj_np = np.full((c * maxc, 2 * m_local), PAD_ID, np.int32)
+    eps_flat = np.zeros(c, np.int64)
+    for ci in range(c):
+        sz = int(sizes[ci])
+        if sz <= 1:
+            eps_flat[ci] = ci * maxc
+            continue
+        hidx = HNSWIndex(
+            d, sz,
+            HNSWConfig(M=m_local, ef_construction=ef_construction), metric,
+        )
+        hidx.add_items(data_c[ci, :sz])
+        adj_local = np.asarray(hidx.adj0[:sz])
+        remap = np.where(adj_local >= 0, adj_local + ci * maxc, PAD_ID)
+        flat_adj_np[ci * maxc : ci * maxc + sz] = remap
+        eps_flat[ci] = max(hidx.ep, 0) + ci * maxc
+        if verbose:
+            print(f"cluster {ci + 1}/{c}: HNSW built over {sz} points")
+    return jnp.asarray(flat_adj_np), eps_flat
+
+
 def build_cnns(
     data,
     cfg: CNNSConfig = CNNSConfig(),
@@ -828,34 +869,9 @@ def build_cnns(
     flat_adj = None
     eps_flat = None
     if local_index == "hnsw":
-        # per-cluster HNSW local graphs (the cluster_hnsw_hnsw ablation,
-        # experiment_feature/cluster_hnsw_hnsw_search.cpp:129-265: faiss
-        # IndexHNSWFlat per cluster). Level-0 adjacencies land in the same
-        # flat arena the NSG local path uses; the upper levels collapse
-        # into the stored enterpoint since probed clusters are small
-        # enough that the shared lockstep beam replaces the descent.
-        from .hnsw import HNSWIndex
-        from ..utils.params import HNSWConfig
-
-        m_local = 8
-        flat_adj_np = np.full((c * maxc, 2 * m_local), PAD_ID, np.int32)
-        eps_flat = np.zeros(c, np.int64)
-        for ci in range(c):
-            sz = int(sizes[ci])
-            if sz <= 1:
-                eps_flat[ci] = ci * maxc
-                continue
-            hidx = HNSWIndex(
-                d, sz, HNSWConfig(M=m_local, ef_construction=60), metric,
-            )
-            hidx.add_items(data_c[ci, :sz])
-            adj_local = np.asarray(hidx.adj0[:sz])
-            remap = np.where(adj_local >= 0, adj_local + ci * maxc, PAD_ID)
-            flat_adj_np[ci * maxc : ci * maxc + sz] = remap
-            eps_flat[ci] = max(hidx.ep, 0) + ci * maxc
-            if verbose:
-                print(f"cluster {ci + 1}/{c}: HNSW built over {sz} points")
-        flat_adj = jnp.asarray(flat_adj_np)
+        flat_adj, eps_flat = local_hnsw_arena(
+            data_c, sizes, metric, verbose=verbose
+        )
     elif local_index == "nsg":
         r_deg = cfg.nsg.R
         flat_adj_np = np.full((c * maxc, r_deg), PAD_ID, np.int32)

@@ -19,9 +19,8 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops.distance import squared_norms
+from ..ops.distance import as_f32_queries
 from ..utils.params import HNSWConfig, NSGBuildConfig, NNDescentConfig
-from .beam import greedy_descent
 from .hnsw import HNSWIndex
 from .nsg import NSGIndex, build_nsg
 from .rptree import knn_graph_rp
@@ -61,10 +60,19 @@ class HybridHNSWNSG:
             k = min(self.nsg_cfg.L + 10, n - 1)
             if n <= 8192:
                 knn_adj = knn_graph_exact(data, k, query_block=4096)
-            else:
+            elif n <= 200_000:
                 knn_adj = knn_graph_rp(
                     np.asarray(data), k, metric=self.metric, seed=seed,
                     refine=NNDescentConfig(K=k, L=k + 20, iters=2, S=8, R=8),
+                )
+            else:
+                # large-N: the cluster-join builder (models/knn_ivf.py) —
+                # contiguous slab GEMMs instead of the gather-bound
+                # tree/refine path
+                from .knn_ivf import knn_graph_ivf
+
+                knn_adj = knn_graph_ivf(
+                    np.asarray(data), k, metric=self.metric, seed=seed,
                 )
         self.nsg = build_nsg(
             data, knn_adj, self.nsg_cfg, metric=self.metric, seed=seed
@@ -72,24 +80,22 @@ class HybridHNSWNSG:
 
     def search_knn(
         self, queries, k: int = 10, ef: int = 100, l_search: int | None = None,
-        expand: int = 1,
+        expand: int = 1, entry: str = "routed",
     ):
-        """searchKnn (index_hnsw_nsg.h:107-151): HNSW greedy descent to
-        level 1 -> entry label -> NSG SearchFromEnterpoint with ef-sized K.
+        """searchKnn (index_hnsw_nsg.h:107-151): HNSW upper levels pick
+        the entry label -> NSG SearchFromEnterpoint with ef-sized K.
 
-        Returns (labels [Q, k] int64, dists [Q, k] exact)."""
+        entry: "routed" (one GEMM over level>=1 nodes — see
+        HNSWIndex._entry_points) or "descend" (the reference's per-level
+        greedy walk). Returns (labels [Q, k] int64, dists [Q, k] exact)."""
         if self.nsg is None:
             raise RuntimeError("call build_nsg_layer() before searching")
-        q = jnp.asarray(np.asarray(queries, np.float32))
-        if q.ndim == 1:
-            q = q[None]
+        q = as_f32_queries(queries)
         h = self.hnsw
-        cur = jnp.full((q.shape[0],), h.ep, jnp.int32)
-        for lvl in range(h.max_level, 0, -1):
-            cur, _ = greedy_descent(
-                q, h.data, h.norms, h.adj_up[lvl - 1], cur,
-                metric=self.metric,
-            )
+        if entry == "descend":
+            cur = h._descend_entry(q)
+        else:
+            cur = h._entry_points(q)
         d, ids = self.nsg.search_from_enterpoint(
             q, cur, k=k, l_search=max(l_search or ef, k), expand=expand,
         )

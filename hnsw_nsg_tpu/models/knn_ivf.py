@@ -100,7 +100,9 @@ def knn_graph_ivf(
     order = np.argsort(assign, kind="stable")
     sizes0 = np.bincount(assign, minlength=k0)
     target = max(int(np.ceil(n / k0)), 8)
-    maxc = int(((2 * target + 7) // 8) * 8)
+    # 64-aligned so the join kernel's row chunking keeps MXU-shaped tiles
+    # after the VMEM-budget shrink (pallas_scan.cluster_join_topk)
+    maxc = int(((2 * target + 63) // 64) * 64)
     n_slabs0 = np.maximum(-(-sizes0 // maxc), 1)
     slab_base = np.concatenate([[0], np.cumsum(n_slabs0)])
     c = int(slab_base[-1])

@@ -274,6 +274,29 @@ def _scan_hops(q_bf, rows, scale, r_d, r_i, r_e, hops, evals,
     return r_d, r_i, r_e, hops, evals, jnp.any(~r_e)
 
 
+@jax.jit
+def _scatter_final(f_d, f_i, f_h, f_e, orig, r_d, r_i, hops, evals):
+    """Write the current (possibly compacted) batch's rows back to their
+    original query slots. orig entries >= len(f_d) are pad rows (drop)."""
+    f_d = f_d.at[orig].set(r_d, mode="drop")
+    f_i = f_i.at[orig].set(r_i, mode="drop")
+    f_h = f_h.at[orig].set(hops, mode="drop")
+    f_e = f_e.at[orig].set(evals, mode="drop")
+    return f_d, f_i, f_h, f_e
+
+
+@jax.jit
+def _compact_batch(sel, live, q_bf, r_d, r_i, r_e, hops, evals, orig):
+    """Gather the still-active queries into a smaller batch. Pad rows
+    (live=False) get fully-expanded retsets so they select no frontier
+    (zero extra hops; one dead row-0 gather per expand slot per hop)."""
+    take = functools.partial(jnp.take, indices=sel, axis=0)
+    r_e_c = jnp.where(live[:, None], take(r_e), True)
+    orig_c = jnp.where(live, take(orig), jnp.iinfo(jnp.int32).max)
+    return (take(q_bf), take(r_d), take(r_i), r_e_c,
+            take(hops), take(evals), orig_c)
+
+
 def beam_search_records(
     queries: jax.Array,
     data: jax.Array,
@@ -285,6 +308,7 @@ def beam_search_records(
     max_hops: int = 512,
     expand: int = 1,
     chunk_hops: int = 32,
+    min_compact: int = 256,
 ) -> BeamResult:
     """Lockstep best-first search over the packed record layout.
 
@@ -293,6 +317,14 @@ def beam_search_records(
     merge, until every slot is expanded. Distances returned are FastL2-form
     f32 from int8 dots with exact norms; use ``inline_graph.rerank_exact``
     for exact metric values.
+
+    Converged-query compaction: lockstep batches pay the slowest query's
+    hop count — the convergence tail (a minority of queries needing 3-10x
+    the median hops) would otherwise multiply the whole batch's gather
+    bill. After each scan chunk the still-active queries are compacted
+    into a power-of-two bucket once they fall below half the batch, so
+    tail hops cost only the tail's own gathers. Each per-query result is
+    scattered back to its original slot at compaction/exit.
     """
     q = jnp.asarray(queries)
     qn = q.shape[0]
@@ -303,14 +335,44 @@ def beam_search_records(
 
     nw, _ = _layout(g.r, g.d)
     q_bf = _split_query(q, g.d, nw)
+    final = None   # (f_d, f_i, f_h, f_e) once compaction starts
+    orig = jnp.arange(qn, dtype=jnp.int32)
+    cur_q = qn
     hops_left = max_hops
     while hops_left > 0:
         n_hops = min(chunk_hops, hops_left)
-        r_d, r_i, r_e, hops, evals, active = _scan_hops(
+        r_d, r_i, r_e, hops, evals, _ = _scan_hops(
             q_bf, g.rows, g.scale, r_d, r_i, r_e, hops, evals,
             expand=expand, n_hops=n_hops, metric=metric, r=g.r, nw=nw,
         )
         hops_left -= n_hops
-        if not bool(active):  # one host sync per chunk
+        act = np.asarray(jnp.any(~r_e, axis=1))  # one host sync per chunk
+        n_act = int(act.sum())
+        if n_act == 0:
             break
-    return BeamResult(r_d, r_i, hops, evals)
+        new_q = max(min_compact, 1 << int(np.ceil(np.log2(n_act))))
+        if new_q <= cur_q // 2 and hops_left > 0:
+            if final is None:
+                final = (
+                    jnp.zeros((qn, width), r_d.dtype),
+                    jnp.full((qn, width), PAD_ID, jnp.int32),
+                    jnp.zeros((qn,), jnp.int32),
+                    jnp.zeros((qn,), jnp.int32),
+                )
+            final = _scatter_final(*final, orig, r_d, r_i, hops, evals)
+            sel_np = np.zeros(new_q, np.int32)
+            idx = np.nonzero(act)[0]
+            sel_np[: n_act] = idx
+            live_np = np.zeros(new_q, bool)
+            live_np[: n_act] = True
+            q_bf, r_d, r_i, r_e, hops, evals, orig = _compact_batch(
+                jnp.asarray(sel_np), jnp.asarray(live_np),
+                q_bf, r_d, r_i, r_e, hops, evals, orig,
+            )
+            cur_q = new_q
+    if final is None:
+        return BeamResult(r_d, r_i, hops, evals)
+    f_d, f_i, f_h, f_e = _scatter_final(
+        *final, orig, r_d, r_i, hops, evals
+    )
+    return BeamResult(f_d, f_i, f_h, f_e)

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.distance import PAD_DIST, PAD_ID
+from ..ops.distance import PAD_DIST, PAD_ID, as_f32_queries
 from ..ops.topk import topk_smallest
 from .cnns import CNNSIndex, _flat_probe_search
 
@@ -97,9 +97,7 @@ class SpillCNNSIndex:
 
     def search(self, queries, k: int = 100, nprobe: int = 4,
                rank_by: str = "hits"):
-        q = jnp.asarray(np.asarray(queries, np.float32))
-        if q.ndim == 1:
-            q = q[None]
+        q = as_f32_queries(queries)
         if self.qshift:
             q = q - self.qshift
         nprobe = min(nprobe, self.n_real)

@@ -67,6 +67,25 @@ def set_default_precision(p) -> None:
     _PRECISION = p
 
 
+def as_f32_queries(queries) -> jax.Array:
+    """Canonicalize a query batch to a device f32 [Q, d] array WITHOUT a
+    device->host->device roundtrip when it is already device-resident.
+
+    ``jnp.asarray(np.asarray(q, np.float32))`` — the naive spelling — pulls
+    a committed device array back through the host (~600 ms each way for a
+    4 MB batch over the tunneled chip) on every search call. Serving keeps
+    query batches on-device; so does bench.py."""
+    if isinstance(queries, jax.Array):
+        q = queries
+        if q.dtype != jnp.float32:
+            q = q.astype(jnp.float32)
+    else:
+        q = jnp.asarray(_np.asarray(queries, _np.float32))
+    if q.ndim == 1:
+        q = q[None]
+    return q
+
+
 def squared_norms(x: jax.Array) -> jax.Array:
     """Per-row squared L2 norm, computed in f32. x: [..., d] -> [...]."""
     xf = x.astype(jnp.float32)

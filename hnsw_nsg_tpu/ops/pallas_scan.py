@@ -67,6 +67,41 @@ def _scan_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
             dist = jnp.where(col == am[:, None], jnp.float32(jnp.inf), dist)
 
 
+def _join_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref, dist_ref,
+                 *, k: int, scale: float):
+    """_scan_kernel variant with the distance tile in an explicit VMEM
+    scratch: the join runs at k~50 (kNN-graph construction), and an
+    unrolled SSA extraction loop at that depth keeps tens of [rc, mm]
+    temporaries live at once — Mosaic's 16 MB scoped-vmem stack OOMs at
+    the 1M build shape. Read-modify-write through the scratch ref bounds
+    liveness to ~3 tiles regardless of k."""
+    q = qv_ref[0]                      # [rc, d]
+    s = slab_ref[0]                    # [mm, d]
+    if q.dtype == jnp.int8:
+        dots = jax.lax.dot_general(
+            q, s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        dots = jax.lax.dot_general(
+            q, s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    dist_ref[...] = bias_ref[0] - jnp.float32(scale) * dots
+    rc, mm = dist_ref.shape
+    for j in range(k):
+        d = dist_ref[...]
+        m = jnp.min(d, axis=1)
+        am = jnp.argmin(d, axis=1).astype(jnp.int32)
+        vals_ref[0, :, j] = m
+        idx_ref[0, :, j] = am
+        if j + 1 < k:
+            col = jax.lax.broadcasted_iota(jnp.int32, (rc, mm), 1)
+            dist_ref[...] = jnp.where(
+                col == am[:, None], jnp.float32(jnp.inf), d
+            )
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "scale", "row_chunk", "interpret")
 )
@@ -91,8 +126,15 @@ def cluster_join_topk(
     ~70 GB."""
     c, maxc, d = qv.shape
     mm = stacks.shape[1]
+    # the kernel's live VMEM temporaries (scratch dist f32, col iota i32,
+    # one masking temp) are all [row_chunk, mm]; Mosaic's scoped stack
+    # budget is 16 MB — shrink the row chunk until ~3 such tiles fit
+    while row_chunk > 8 and row_chunk * mm * 12 > 12 << 20:
+        row_chunk //= 2
+    while maxc % row_chunk:
+        row_chunk //= 2
     nrc = maxc // row_chunk
-    kern = functools.partial(_scan_kernel, k=k, scale=scale)
+    kern = functools.partial(_join_kernel, k=k, scale=scale)
     vals, idx = pl.pallas_call(
         kern,
         grid=(c, nrc),
@@ -114,6 +156,7 @@ def cluster_join_topk(
             jax.ShapeDtypeStruct((c, maxc, k), jnp.float32),
             jax.ShapeDtypeStruct((c, maxc, k), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((row_chunk, mm), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * c * maxc * mm * d,
             bytes_accessed=(

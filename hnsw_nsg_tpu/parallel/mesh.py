@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.distance import PAD_DIST, PAD_ID, squared_norms
+from ..ops.distance import PAD_DIST, PAD_ID, as_f32_queries, squared_norms
 from ..ops.bruteforce import brute_force_topk
 from ..ops.topk import topk_smallest
 from ..models.beam import beam_search
@@ -252,7 +252,7 @@ class ShardedCNNSIndex:
         """Returns (dists [Q, k], global ids [Q, k], evals [S])."""
         from ..models.cnns import _route_clusters
 
-        q = jnp.asarray(np.asarray(queries, np.float32))
+        q = as_f32_queries(queries)
         s = self.mesh.shape[AXIS]
         slots = slots or min(nprobe, -(-nprobe // s) + 1)
         nprobe = min(nprobe, self.n_clusters)
@@ -416,7 +416,7 @@ class MultiSliceCNNSIndex:
         Queries are processed slice-data-parallel: rows shard over DCN."""
         from ..models.cnns import _route_clusters
 
-        q = jnp.asarray(np.asarray(queries, np.float32))
+        q = as_f32_queries(queries)
         n_sl = self.mesh.shape[DCN_AXIS]
         s = self.mesh.shape[AXIS]
         if q.shape[0] % n_sl:

@@ -45,6 +45,25 @@ def test_full_cluster_pipeline(workdir, capsys):
     assert out["recall"] > 0.8, out
 
 
+def test_search_clusters_ablation_axes(workdir, capsys):
+    """router x local x rank_by CLI flags (the experiment_feature ablation
+    drivers: cluster_hnsw_hnsw_search.cpp, sort_by_min_dist.cpp)."""
+    prefix = str(workdir / "artifacts")  # built by the pipeline test
+    if not os.path.exists(os.path.join(prefix, "centroids.fvecs")):
+        pytest.skip("pipeline test must run first")
+    for extra in (
+        ["--local", "hnsw"],
+        ["--router", "hnsw", "--local", "flat"],
+        ["--rank-by", "min_dist", "--local", "flat"],
+    ):
+        capsys.readouterr()
+        main(["search-clusters", prefix, str(workdir / "query.fvecs"),
+              "--gt", str(workdir / "gt.ivecs"), "--k", "10",
+              "--nprobe", "3"] + extra)
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["recall"] > 0.7, (extra, out)
+
+
 def test_hnsw_cli(workdir, capsys, tmp_path):
     out_idx = str(tmp_path / "h.npz")
     main(["build-hnsw", str(workdir / "base.fvecs"), out_idx,

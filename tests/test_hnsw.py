@@ -60,6 +60,32 @@ class TestBuildSearch:
         frac = (lv >= 1).mean()
         assert 0.02 < frac < 0.15
 
+    def test_routed_entry_matches_descend(self, built):
+        """The routed entry (one GEMM over level>=1 nodes) must be at
+        least as good as the reference-style greedy descent it replaces
+        (it returns the node the descent approximates)."""
+        x, q, idx = built
+        _, gt = brute_force_topk(q, x, 10)
+        l_r, _ = idx.knn_query(q, k=10, ef=64)  # routed default
+        l_d, _ = idx.knn_query(q, k=10, ef=64, entry="descend")
+        r_r = recall(l_r, np.asarray(gt))
+        r_d = recall(l_d, np.asarray(gt))
+        assert r_r >= r_d - 0.02, (r_r, r_d)
+        assert r_r >= 0.95
+
+    def test_routed_entry_is_nearest_upper_node(self, built):
+        x, q, idx = built
+        ent = np.asarray(idx._entry_points(np.asarray(q[:8])))
+        upper = np.nonzero(idx.levels[: idx.n] >= 1)[0]
+        d_all = ((q[:8, None, :] - x[None, upper, :]) ** 2).sum(-1)
+        best = upper[np.argmin(d_all, axis=1)]
+        # bf16 router dots may flip exact ties/near-ties; entry must be
+        # within a whisker of the true nearest upper node
+        d_ent = ((q[:8] - x[ent]) ** 2).sum(-1)
+        d_best = d_all.min(axis=1)
+        np.testing.assert_allclose(d_ent, d_best, rtol=0.05)
+        assert (ent == best).mean() >= 0.7
+
 
 class TestCRUD:
     def test_labels_and_get_items(self, rng):

@@ -88,6 +88,26 @@ class TestRecordGraph:
         # int8 traversal + exact rerank stays within a point of f32
         assert r_rec >= r_f32 - 0.02, (r_rec, r_f32)
 
+    def test_compaction_identical_results(self, setup):
+        """Converged-query compaction must not change any query's result
+        (it only re-buckets the still-active rows between scan chunks)."""
+        x, norms, adj, qs, init, gt = setup
+        g = build_record_graph(x, adj, norms, chunk=512)
+        plain = beam_search_records(
+            qs, x, norms, g, init, width=32, max_hops=128,
+            min_compact=qs.shape[0] + 1,   # compaction disabled
+        )
+        compacted = beam_search_records(
+            qs, x, norms, g, init, width=32, max_hops=128,
+            chunk_hops=8, min_compact=2,   # compact aggressively
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.ids), np.asarray(compacted.ids)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(plain.hops), np.asarray(compacted.hops)
+        )
+
 
 class TestHNSWAccel:
     def test_accel_query_parity(self, setup):
