@@ -317,6 +317,8 @@ def cmd_search_hybrid(args):
     from .ops.bruteforce import recall as recall_fn
 
     hyb = HybridHNSWNSG.load(args.index)
+    if args.accel:
+        hyb.build_accel()
     queries = _load_vectors(args.queries)
     gt = io.read_gt(args.gt) if args.gt else None
     print("search_L\trecall@k\tus/query")
@@ -474,6 +476,9 @@ def main(argv=None):
     s.add_argument("--search-ls", default="100,150,200,300,500",
                    dest="search_ls")
     s.add_argument("--result", help="write the sweep table as JSON")
+    s.add_argument("--accel", action="store_true",
+                   help="pack the NSG layer into int8 records "
+                        "(one row gather per expansion)")
     s.set_defaults(fn=cmd_search_hybrid)
 
     s = sub.add_parser("convert")

@@ -78,6 +78,15 @@ class HybridHNSWNSG:
             data, knn_adj, self.nsg_cfg, metric=self.metric, seed=seed
         )
 
+    def build_accel(self) -> None:
+        """Pack the NSG base layer into the int8 record layout
+        (models/records.py): one row gather per frontier expansion. The
+        HNSW side needs no packing — routed entry selection is already a
+        single GEMM."""
+        if self.nsg is None:
+            raise RuntimeError("call build_nsg_layer() before build_accel")
+        self.nsg.build_accel()
+
     def search_knn(
         self, queries, k: int = 10, ef: int = 100, l_search: int | None = None,
         expand: int = 1, entry: str = "routed",

@@ -89,9 +89,11 @@ def kmeans(
     k = min(k, n)
     chunk = min(chunk, n)
     rng = np.random.default_rng(seed)
-    centroids = jnp.asarray(
-        np.asarray(data)[rng.choice(n, k, replace=False)], jnp.float32
-    )
+    # seed sampling gathers ON DEVICE — np.asarray(data) would fetch the
+    # whole dataset through the host (~100 s for 512 MB over the tunnel)
+    centroids = jnp.take(
+        data, jnp.asarray(rng.choice(n, k, replace=False)), axis=0
+    ).astype(jnp.float32)
 
     for it in range(iters):
         centroids, mean_d, n_empty = _step(data, centroids, chunk)

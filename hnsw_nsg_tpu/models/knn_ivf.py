@@ -21,6 +21,14 @@ cluster, so recall tracks IVF recall at nprobe=M.
 This is the same insight the reference itself uses at the pipeline level
 (cluster first, then build within clusters — cluster_IVF_nndescent.cpp),
 promoted to the kNN-graph build itself.
+
+The whole pipeline is device-resident: slab packing is a device row
+gather, the join never leaves HBM, and the final per-point top-k +
+scatter into the [N, k] adjacency run on device. The only host traffic
+is the [N] assignment fetch and the [C, maxc] slab-id table — measured
+at 1M x 128 through the tunneled chip, the earlier host-side
+pack/fetch/postprocess spent ~210 s on ~2 GB of transfers that this
+layout never performs.
 """
 
 from __future__ import annotations
@@ -68,6 +76,42 @@ def _cluster_join(data_c, ids_c, cnorms_c, nbrs, k, metric,
     return v, gi
 
 
+@functools.partial(jax.jit, static_argnames=("slab_dtype", "metric"))
+def _pack_slabs(data, ids_c, slab_dtype, metric):
+    """Device slab packing: one row gather from the resident dataset.
+    Returns (slabs [C, maxc, d] slab_dtype, cnorms f32, slab_cents f32)."""
+    ok = ids_c >= 0
+    safe = jnp.where(ok, ids_c, 0)
+    rows = jnp.take(data, safe.reshape(-1), axis=0).reshape(
+        ids_c.shape + (data.shape[1],)
+    ).astype(jnp.float32)
+    rows = jnp.where(ok[..., None], rows, 0.0)
+    cnorms = squared_norms(rows) if metric == "l2" else jnp.zeros(
+        ids_c.shape, jnp.float32
+    )
+    counts = jnp.maximum(ok.sum(axis=1), 1)[:, None].astype(jnp.float32)
+    cents = rows.sum(axis=1) / counts
+    return rows.astype(slab_dtype), cnorms, cents
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k"))
+def _finalize(gids, vals, ids_c, n, k):
+    """Drop self/pad hits, per-point exact top-k over the join width, and
+    scatter rows into the [N, k] adjacency — all on device (fetching the
+    [C, maxc, kk] join tensor through the tunnel costs ~125 s at 1M)."""
+    own = ids_c[:, :, None]
+    drop = (gids == own) | (gids < 0)
+    vals = jnp.where(drop, jnp.inf, vals)
+    neg, ordk = jax.lax.top_k(-vals, k)
+    rows = jnp.take_along_axis(gids, ordk, axis=2)
+    rows = jnp.where(jnp.isfinite(neg), rows, PAD_ID)
+    dst = jnp.where(ids_c >= 0, ids_c, n)
+    adj = jnp.full((n, k), PAD_ID, jnp.int32)
+    return adj.at[dst.reshape(-1)].set(
+        rows.reshape(-1, k), mode="drop"
+    )
+
+
 def knn_graph_ivf(
     data,
     k: int,
@@ -79,21 +123,26 @@ def knn_graph_ivf(
     row_chunk: int = 128,
     slab_dtype=jnp.bfloat16,
     verbose: bool = False,
-) -> np.ndarray:
-    """Approximate kNN graph via cluster joins. Returns int32 [N, k].
+    as_device: bool = False,
+):
+    """Approximate kNN graph via cluster joins. Returns int32 [N, k]
+    (numpy, or the device array when ``as_device`` — downstream build
+    stages consume it on device, saving the ~200 MB fetch at 1M).
 
     probes: clusters joined per cluster (own + probes-1 nearest by
     centroid) — the recall knob, analogous to IVF nprobe."""
-    data_np = np.asarray(data, np.float32)
-    n, d = data_np.shape
+    if isinstance(data, jax.Array):
+        data_dev = data.astype(jnp.float32)
+    else:
+        data_dev = jnp.asarray(np.asarray(data, np.float32))
+    n, d = data_dev.shape
     c_target = n_clusters or max(n // 1024, 1)
 
-    data_dev = jnp.asarray(data_np)
     cents, assign = kmeans(data_dev, c_target, iters=kmeans_iters,
                            seed=seed)
-    assign = np.asarray(assign)
+    assign = np.asarray(assign)       # [N] i32 — the one required fetch
     k0 = cents.shape[0]
-    del data_dev
+    del cents
 
     # CNNS slab layout (models/cnns.py): oversized clusters split so the
     # pad width stays ~2x the mean
@@ -114,53 +163,34 @@ def knn_graph_ivf(
 
     ids_c = np.full((c, maxc), PAD_ID, np.int32)
     ids_c[slab_row, slot] = order
-    data_c = np.zeros((c, maxc, d), np.float32)
-    valid = ids_c >= 0
-    data_c[valid] = data_np[ids_c[valid]]
+    ids_dev = jnp.asarray(ids_c)
+    del ids_c
 
-    # slab centroids (split slabs get their own) -> M nearest slabs each.
-    # Probing by slab rather than original cluster keeps the join width
-    # fixed and still covers the original cluster (its slabs are mutual
-    # nearest neighbors).
-    sizes = valid.sum(axis=1)
-    safe = np.maximum(sizes, 1)[:, None]
-    slab_cents = jnp.asarray(data_c.sum(axis=1) / safe)
+    # device slab packing + per-slab centroids (split slabs get their
+    # own). Probing by slab rather than original cluster keeps the join
+    # width fixed and still covers the original cluster (its slabs are
+    # mutual nearest neighbors). bf16 slabs halve the stacked-candidate
+    # HBM footprint and double the MXU rate; norms stay exact f32 so the
+    # ranking error is a bf16 dot rounding only — the same tradeoff the
+    # CNNS production search makes (recall impact ~1e-3, gated by tests).
+    slabs, cnorms, slab_cents = _pack_slabs(
+        data_dev, ids_dev, slab_dtype, metric
+    )
     m = min(probes, c)
     cd = pairwise_dists(slab_cents, slab_cents, "l2", exact=False)
     _, nbrs = jax.lax.top_k(-cd, m)          # [C, M] nearest slabs (self
     nbrs = jnp.asarray(nbrs, jnp.int32)      # included at rank 0)
 
-    # bf16 join slabs: halves the stacked-candidate HBM footprint (x
-    # probes duplication) and doubles MXU rate; norms stay exact f32 so
-    # ranking error is a bf16 dot rounding only — the same tradeoff the
-    # CNNS production search makes (recall impact ~1e-3, gated by tests)
-    data_f32 = jnp.asarray(data_c)
-    cnorms = squared_norms(data_f32) if metric == "l2" else jnp.zeros(
-        (c, maxc), jnp.float32
-    )
-    data_dev = data_f32.astype(slab_dtype)
-    del data_f32
-    ids_dev = jnp.asarray(ids_c)
     while maxc % row_chunk:
         row_chunk //= 2
     interpret = jax.default_backend() == "cpu"
     kk = min(k + 2, m * maxc)  # margin for dropping self
     vals, gids = _cluster_join(
-        data_dev, ids_dev, cnorms, nbrs, kk, metric, max(row_chunk, 1),
+        slabs, ids_dev, cnorms, nbrs, kk, metric, max(row_chunk, 1),
         interpret,
     )
     if verbose:
         print(f"cluster join done: C={c} maxc={maxc} probes={m}")
 
-    gids = np.asarray(gids)     # [C, maxc, kk]
-    vals = np.asarray(vals)
-    own = ids_c[:, :, None]
-    drop = (gids == own) | (gids < 0)
-    vals = np.where(drop, np.inf, vals)
-    ordk = np.argsort(vals, axis=2, kind="stable")[:, :, :k]
-    out_rows = np.take_along_axis(gids, ordk, axis=2)
-    out_rows[np.take_along_axis(vals, ordk, axis=2) == np.inf] = PAD_ID
-
-    adj = np.full((n, k), PAD_ID, np.int32)
-    adj[ids_c[valid]] = out_rows[valid]
-    return adj
+    adj = _finalize(gids, vals, ids_dev, n, k)
+    return adj if as_device else np.asarray(adj)

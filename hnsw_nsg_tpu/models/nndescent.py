@@ -187,6 +187,16 @@ def nn_descent(
     data = jnp.asarray(data)
     n_real = data.shape[0]
     k, l = cfg.K, max(cfg.L, cfg.K)
+    rcap = rev_cap if rev_cap is not None else min(cfg.R, 2 * cfg.S)
+    # auto-shrink the node chunk so the per-chunk candidate gather
+    # ([chunk, cand_w, d] f32 inside gathered_dists, plus an einsum copy)
+    # stays within a few GB of HBM at any (N, d, S, R, T) — the refine
+    # configs that buy reference-grade recall OOM'd at 1M with the old
+    # fixed chunk=4096
+    w = 2 * cfg.S + 2 * rcap
+    cand_w = w * (2 * cfg.S + top_t + 1)
+    max_chunk = max(int(3e9 / (cand_w * data.shape[1] * 8)), 256)
+    chunk = min(chunk, 1 << int(np.floor(np.log2(max_chunk))))
     chunk = min(chunk, _pad_to_multiple(n_real, 8))
     n = _pad_to_multiple(n_real, chunk)
     if n != n_real:
@@ -216,7 +226,6 @@ def nn_descent(
         init_ids == np.arange(n, dtype=np.int32)[:, None], PAD_ID, init_ids
     )
 
-    rcap = rev_cap if rev_cap is not None else min(cfg.R, 2 * cfg.S)
     key = jax.random.PRNGKey(seed)
 
     # seed pools: merge the init ids as candidates into empty pools

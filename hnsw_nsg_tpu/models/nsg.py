@@ -52,6 +52,9 @@ class NSGIndex:
     adj: jax.Array         # [N, R] int32, PAD_ID-padded
     ep: int                # medoid entry point
     metric: str = "l2"
+    # packed int8 record layout (models/records.py) — one gather per
+    # expansion instead of R; build with build_accel()
+    records: object = dataclasses.field(default=None, compare=False)
 
     @property
     def n(self) -> int:
@@ -60,6 +63,45 @@ class NSGIndex:
     @property
     def width(self) -> int:
         return self.adj.shape[1]
+
+    def build_accel(self, chunk: int = 1 << 16) -> None:
+        """Derive the packed int8 record layout over the NSG adjacency
+        (the OptimizeGraph analogue, index_nsg.cpp:570-657: repack each
+        node's search state into one contiguous block). Subsequent
+        searches traverse records (one ~0.75us row gather per expansion
+        instead of R of them) and re-rank the retset head exactly."""
+        from .records import build_record_graph
+
+        self.records = build_record_graph(
+            self.data, self.adj, self.norms, chunk=chunk
+        )
+
+    def _beam(self, q, init, k, l_search, expand, max_hops):
+        """Dispatch one lockstep beam over records when built, else the
+        plain padded-adjacency layout. Returns (exact dists, ids)."""
+        if self.records is not None:
+            from .inline_graph import rerank_exact
+            from .records import beam_search_records
+
+            res = beam_search_records(
+                q, self.data, self.norms, self.records, init,
+                width=l_search, metric=self.metric, expand=expand,
+                max_hops=max_hops,
+            )
+            head = min(l_search, k + 16)
+            return rerank_exact(
+                q, self.data, self.norms, res.ids[:, :head], k,
+                metric=self.metric,
+            )
+        res = beam_search(
+            q, self.data, self.norms, self.adj, init,
+            width=l_search, metric=self.metric, max_hops=max_hops,
+            expand=expand,
+        )
+        d, i = res.dists[:, :k], res.ids[:, :k]
+        if self.metric == "l2":
+            d = d + squared_norms(q)[:, None]
+        return d, i
 
     def search(
         self,
@@ -85,15 +127,7 @@ class NSGIndex:
                 key, (nq, n_fill), 0, self.n, dtype=jnp.int32
             )
             init = jnp.concatenate([init, rand], axis=1)
-        res = beam_search(
-            q, self.data, self.norms, self.adj, init,
-            width=l_search, metric=self.metric, max_hops=max_hops,
-            expand=expand,
-        )
-        d, i = res.dists[:, :k], res.ids[:, :k]
-        if self.metric == "l2":
-            d = d + squared_norms(q)[:, None]
-        return d, i
+        return self._beam(q, init, k, l_search, expand, max_hops)
 
     def search_from_enterpoint(
         self,
@@ -128,15 +162,7 @@ class NSGIndex:
             init = jnp.concatenate([init, rand], axis=1)
         else:
             init = init[:, : max(l_search, self.width + 1)]
-        res = beam_search(
-            q, self.data, self.norms, self.adj, init,
-            width=l_search, metric=self.metric, max_hops=max_hops,
-            expand=expand,
-        )
-        d, i = res.dists[:, :k], res.ids[:, :k]
-        if self.metric == "l2":
-            d = d + squared_norms(q)[:, None]
-        return d, i
+        return self._beam(q, init, k, l_search, expand, max_hops)
 
     # -- persistence ------------------------------------------------------
 

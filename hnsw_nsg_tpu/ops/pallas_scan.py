@@ -67,14 +67,28 @@ def _scan_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
             dist = jnp.where(col == am[:, None], jnp.float32(jnp.inf), dist)
 
 
-def _join_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref, dist_ref,
-                 *, k: int, scale: float):
-    """_scan_kernel variant with the distance tile in an explicit VMEM
-    scratch: the join runs at k~50 (kNN-graph construction), and an
-    unrolled SSA extraction loop at that depth keeps tens of [rc, mm]
-    temporaries live at once — Mosaic's 16 MB scoped-vmem stack OOMs at
-    the 1M build shape. Read-modify-write through the scratch ref bounds
-    liveness to ~3 tiles regardless of k."""
+def _join_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
+                 gd_ref, gi_ref, vals_s, idx_s, *, k: int, scale: float,
+                 group: int):
+    """_scan_kernel variant for the join depth (k~50).
+
+    Two key deviations from the unrolled exact extraction:
+
+    * The [rc, mm] distance tile is first reduced to per-GROUP
+      (min, argmin) over ``group`` consecutive slots — extraction then
+      runs over the [rc, mm/group] reduced tile. This is approx_min_k's
+      bucket semantics (each group contributes at most one result);
+      expected loss is the top-k collision count ~= k^2/(2*(mm/group)),
+      <2% of edges at the build shapes — the join feeds an *approximate*
+      kNN graph, where that loss is far below the probe-miss loss.
+      Extraction cost drops by ~group (it dominated the exact kernel:
+      k sequential VPU passes over the full tile).
+    * Extraction is a ``fori_loop`` doing read-modify-write through VMEM
+      scratch tiles — unrolling kept ~k live [rc, mm] temporaries
+      (Mosaic does not reuse stack slots across unrolled iterations;
+      measured ~40 MB scoped at k=52). Per-j results land in [k, rc]
+      scratches via sublane-dynamic stores (lane-dim dynamic stores are
+      unsupported) and transpose once into the outputs."""
     q = qv_ref[0]                      # [rc, d]
     s = slab_ref[0]                    # [mm, d]
     if q.dtype == jnp.int8:
@@ -87,19 +101,46 @@ def _join_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref, dist_ref,
             q, s, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    dist_ref[...] = bias_ref[0] - jnp.float32(scale) * dots
-    rc, mm = dist_ref.shape
-    for j in range(k):
-        d = dist_ref[...]
-        m = jnp.min(d, axis=1)
-        am = jnp.argmin(d, axis=1).astype(jnp.int32)
-        vals_ref[0, :, j] = m
-        idx_ref[0, :, j] = am
-        if j + 1 < k:
-            col = jax.lax.broadcasted_iota(jnp.int32, (rc, mm), 1)
-            dist_ref[...] = jnp.where(
-                col == am[:, None], jnp.float32(jnp.inf), d
-            )
+    dist = bias_ref[0] - jnp.float32(scale) * dots
+    rc, mm = dist.shape
+    g = mm // group
+    if group == 1:
+        gd_ref[...] = dist
+    else:
+        # bucket c = slots {c, c+g, ..., c+(group-1)g} (comb partition —
+        # any partition satisfies the approx bucket semantics, and this
+        # one makes bucket member e the CONTIGUOUS slice [e*g, (e+1)*g):
+        # the reduce is group-1 running-min compares over [rc, g] lane
+        # slices, no reshape (Mosaic cannot split the lane dim)
+        gd = dist[:, :g]
+        gi = jnp.zeros((rc, g), jnp.int32)
+        for e in range(1, group):
+            sl = dist[:, e * g : (e + 1) * g]
+            upd = sl < gd
+            gd = jnp.where(upd, sl, gd)
+            gi = jnp.where(upd, e, gi)
+        gd_ref[...] = gd
+        gi_ref[...] = gi
+    col = jax.lax.broadcasted_iota(jnp.int32, (rc, g), 1)
+
+    def body(j, carry):
+        gd = gd_ref[...]
+        m = jnp.min(gd, axis=1)
+        am = jnp.argmin(gd, axis=1).astype(jnp.int32)
+        hit = col == am[:, None]
+        if group == 1:
+            idx = am
+        else:
+            rel = jnp.sum(jnp.where(hit, gi_ref[...], 0), axis=1)
+            idx = rel * g + am
+        vals_s[pl.ds(j, 1), :] = m[None, :]
+        idx_s[pl.ds(j, 1), :] = idx[None, :]
+        gd_ref[...] = jnp.where(hit, jnp.float32(jnp.inf), gd)
+        return carry
+
+    jax.lax.fori_loop(0, k, body, 0)
+    vals_ref[0] = vals_s[...][:k].T
+    idx_ref[0] = idx_s[...][:k].T
 
 
 @functools.partial(
@@ -126,15 +167,20 @@ def cluster_join_topk(
     ~70 GB."""
     c, maxc, d = qv.shape
     mm = stacks.shape[1]
-    # the kernel's live VMEM temporaries (scratch dist f32, col iota i32,
-    # one masking temp) are all [row_chunk, mm]; Mosaic's scoped stack
-    # budget is 16 MB — shrink the row chunk until ~3 such tiles fit
-    while row_chunk > 8 and row_chunk * mm * 12 > 12 << 20:
+    # group width for the two-stage extraction: cap the expected
+    # collision loss at ~2% of the k edges (loss_frac ~= k / (2*(mm/g)))
+    group = 1
+    while group < 8 and mm // (group * 2) >= 25 * k and mm % (group * 2) == 0:
+        group *= 2
+    # transient VMEM temporaries outside the extraction loop are ~3
+    # [row_chunk, mm] f32 tiles (dots, dist, group reduce) — budget
+    # 16 B/elem against the 16 MB scoped stack
+    while row_chunk > 8 and row_chunk * mm * 16 > 12 << 20:
         row_chunk //= 2
     while maxc % row_chunk:
         row_chunk //= 2
     nrc = maxc // row_chunk
-    kern = functools.partial(_join_kernel, k=k, scale=scale)
+    kern = functools.partial(_join_kernel, k=k, scale=scale, group=group)
     vals, idx = pl.pallas_call(
         kern,
         grid=(c, nrc),
@@ -156,7 +202,12 @@ def cluster_join_topk(
             jax.ShapeDtypeStruct((c, maxc, k), jnp.float32),
             jax.ShapeDtypeStruct((c, maxc, k), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((row_chunk, mm), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((row_chunk, mm // group), jnp.float32),
+            pltpu.VMEM((row_chunk, mm // group), jnp.int32),
+            pltpu.VMEM((-(-k // 8) * 8, row_chunk), jnp.float32),
+            pltpu.VMEM((-(-k // 8) * 8, row_chunk), jnp.int32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * c * maxc * mm * d,
             bytes_accessed=(

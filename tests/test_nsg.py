@@ -123,6 +123,29 @@ class TestBuild:
         _, gt = brute_force_topk(q, x, 10)
         assert recall(np.asarray(i), np.asarray(gt)) >= 0.9
 
+    def test_accel_records_parity(self, built):
+        """build_accel (int8 record traversal + exact rerank) must match
+        the f32 adjacency beam within a point of recall, and return exact
+        distances."""
+        x, q, idx, _ = built
+        _, gt = brute_force_topk(q, x, 10)
+        d_f32, i_f32 = idx.search(q, k=10, l_search=64)
+        idx.build_accel()
+        assert idx.records is not None
+        d_rec, i_rec = idx.search(q, k=10, l_search=64)
+        r_f32 = recall(np.asarray(i_f32), np.asarray(gt))
+        r_rec = recall(np.asarray(i_rec), np.asarray(gt))
+        assert r_rec >= r_f32 - 0.02, (r_rec, r_f32)
+        i0 = np.asarray(i_rec)[0, 0]
+        true_d = ((q[0] - x[i0]) ** 2).sum()
+        np.testing.assert_allclose(np.asarray(d_rec)[0, 0], true_d,
+                                   rtol=1e-3)
+        # enterpoint variant rides the same records path
+        entries = jnp.zeros((len(q),), jnp.int32)
+        _, i_ep = idx.search_from_enterpoint(q, entries, k=10, l_search=64)
+        assert recall(np.asarray(i_ep), np.asarray(gt)) >= 0.9
+        idx.records = None
+
     def test_save_load_roundtrip(self, built, tmp_path):
         x, q, idx, _ = built
         p = str(tmp_path / "test.npz")
