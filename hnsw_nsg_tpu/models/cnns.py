@@ -129,12 +129,23 @@ def _rank_rep_hits(rep_idx, m1: int, nprobe: int, rank_by: str):
     return jnp.where(got, visit, PAD_ID)
 
 
-def _cast_q(qf, slab_dtype):
-    """Queries in the slab's compute dtype. int8 slabs (uint8 spaces
-    stored shift-by-128, sift_1b.cpp:243-247 analogue) round the
-    already-integral shifted queries; everything else is a plain cast."""
+def _load_qshift(v):
+    """qshift from npz: scalar (uint8 space) or [d] array (quantized)."""
+    a = np.asarray(v, np.float32)
+    return float(a) if a.ndim == 0 else a
+
+
+def _cast_q(qf, slab_dtype, q_round: bool = True):
+    """Queries in the slab's compute dtype. int8 slabs with integral
+    data (uint8 spaces stored shift-by-128, sift_1b.cpp:243-247 analogue)
+    round the already-integral shifted queries — exact. Quantized int8
+    slabs (qscale != 1) keep the query bf16 instead (q_round=False):
+    rounding it would double the quantization noise, and the kernels
+    upcast the slab tile to bf16 for the mixed dot."""
     if slab_dtype == jnp.int8:
-        return jnp.round(qf).astype(jnp.int8)
+        if q_round:
+            return jnp.round(qf).astype(jnp.int8)
+        return qf.astype(jnp.bfloat16)
     return qf.astype(slab_dtype)
 
 
@@ -151,10 +162,10 @@ def _einsum_operands(qb, slab):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "q_block")
+    jax.jit, static_argnames=("k", "metric", "q_block", "q_round")
 )
 def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
-                       q_block: int = 2048):
+                       q_block: int = 2048, q_round: bool = True):
     """Exact search of each query's probed clusters, one jitted program.
 
     lax.map over query blocks (bounds the gathered-slab working set to
@@ -178,7 +189,7 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         # dots in the slab dtype: with bf16 slabs the gather moves half
         # the bytes (the probe-slot gather is the whole cost of this
         # search) and the MXU runs at full rate; norms stay exact f32
-        qc = _cast_q(qf, data_c.dtype)
+        qc = _cast_q(qf, data_c.dtype, q_round)
 
         def slot_fn(carry, cid):
             best_d, best_i = carry
@@ -219,11 +230,12 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "cap", "block", "approx", "pallas"),
+    static_argnames=("k", "metric", "cap", "block", "approx", "pallas",
+                     "q_round"),
 )
 def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
                           cap: int, block: int, approx: bool,
-                          pallas: bool = False):
+                          pallas: bool = False, q_round: bool = True):
     """Inverted, cluster-major probe scan.
 
     The per-query slot scan (_flat_probe_search) gathers each probed slab
@@ -248,7 +260,7 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
     c, maxc = ids_c.shape
     npr = visit.shape[1]
     qf = q.astype(jnp.float32)
-    qc = _cast_q(qf, data_c.dtype)
+    qc = _cast_q(qf, data_c.dtype, q_round)
 
     # ---- invert: (cluster, query) pairs sorted by (cluster, probe rank)
     # -> [C, cap] query lists. Ranking by probe rank makes any capacity
@@ -477,11 +489,12 @@ def _xla_slab_sweep(qv, data_c, ids_c, cnorms_c, qidx, k, metric,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "nprobe", "rank_by", "route_m",
-                     "cap", "block", "approx", "n_valid", "pallas"),
+                     "cap", "block", "approx", "n_valid", "pallas",
+                     "q_round"),
 )
 def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
                      nprobe, rank_by, route_m, cap, block, approx,
-                     n_valid=None, pallas=False):
+                     n_valid=None, pallas=False, q_round=True):
     """Route + grouped scan as ONE device program: per-dispatch overhead
     on the tunneled TPU is ~30-50 ms, a large fraction of a ~100 ms
     batch, so the two stages fuse."""
@@ -490,6 +503,7 @@ def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
     return _grouped_probe_search(
         q, visit, data_c, ids_c, cnorms_c, k, metric,
         cap=cap, block=block, approx=approx, pallas=pallas,
+        q_round=q_round,
     )
 
 
@@ -508,9 +522,13 @@ class CNNSIndex:
     metric: str = "l2"
     local_index: str = "flat"
     n_real: int | None = None    # clusters before slab-count padding
-    # uint8 spaces (sift_1b.cpp:243-247): slabs stored int8 = x - qshift;
-    # queries get the same shift (L2 is shift-invariant, int8 MXU exact)
-    qshift: float = 0.0
+    # int8 slab transform: slabs stored round((x - qshift) / qscale).
+    # uint8 spaces (sift_1b.cpp:243-247) use qshift=128, qscale=1 (exact
+    # integer math, L2 shift-invariant); arbitrary f32 data quantizes with
+    # a per-dim shift + global scale (distances come back in scaled units
+    # and are rescaled by qscale^2 on return)
+    qshift: object = 0.0      # float or [d] np.ndarray
+    qscale: float = 1.0
     # nsg-local arena (flat layout, intra-cluster edges in flat ids)
     flat_adj: jax.Array | None = None   # [C*maxc, R]
     eps_flat: np.ndarray | None = None  # [C] entry points in flat ids
@@ -597,9 +615,23 @@ class CNNSIndex:
         cluster_knn_* ablation and TPU default) or "hnsw" (graph walk over
         the representatives — the reference's faiss router,
         cluster_hnsw_*_search.cpp)."""
+        d, i = self._search_impl(
+            queries, k, nprobe, l_search, expand, rank_by, group,
+            route_m, router,
+        )
+        if self.qscale != 1.0:
+            # slabs live in the quantized domain; report metric-unit dists
+            d = d * jnp.float32(self.qscale) ** 2
+        return d, i
+
+    def _search_impl(self, queries, k, nprobe, l_search, expand, rank_by,
+                     group, route_m, router):
         q = as_f32_queries(queries)
-        if self.qshift:
-            q = q - self.qshift   # reps/slabs are stored shifted
+        if self.qscale != 1.0 or np.any(self.qshift):
+            # reps/slabs are stored shifted (+scaled): match the domain
+            q = (q - jnp.asarray(self.qshift, jnp.float32)) / jnp.float32(
+                self.qscale
+            )
         nprobe = nprobe or max(1, (self.n_real or self.n_clusters) // 8)
         n_real = self.n_real or self.n_clusters
         nprobe = min(nprobe, n_real)
@@ -628,6 +660,7 @@ class CNNSIndex:
                     self.metric, nprobe, rank_by,
                     route_m, cap, 64, False, n_real,
                     pallas=_default_pallas(),
+                    q_round=self.qscale == 1.0,
                 )
         visit = self._route(q, nprobe, rank_by, route_m)  # [Q, V]
         if self.local_index == "flat":
@@ -650,10 +683,11 @@ class CNNSIndex:
             return _grouped_probe_search(
                 q, visit, self.data_c, self.ids_c, cnorms, k,
                 self.metric, cap=cap, block=64, approx=False,
-                pallas=_default_pallas(),
+                pallas=_default_pallas(), q_round=self.qscale == 1.0,
             )
         return _flat_probe_search(
-            q, visit, self.data_c, self.ids_c, cnorms, k, self.metric
+            q, visit, self.data_c, self.ids_c, cnorms, k, self.metric,
+            q_round=self.qscale == 1.0,
         )
 
     def _search_nsg(self, q, visit, k, l_search, expand):
@@ -694,7 +728,8 @@ class CNNSIndex:
         np.savez(
             path,
             n_real=np.int64(self.n_real or self.reps.shape[0]),
-            qshift=np.float64(self.qshift),
+            qshift=np.asarray(self.qshift, np.float64),
+            qscale=np.float64(self.qscale),
             slab_dtype=self.data_c.dtype.name,
             reps=np.asarray(self.reps),
             data_c=d_np,
@@ -717,7 +752,8 @@ class CNNSIndex:
             d_np = jnp.asarray(d_np).view(jnp.bfloat16)
         return cls(
             n_real=(int(z["n_real"]) if "n_real" in z else None),
-            qshift=(float(z["qshift"]) if "qshift" in z else 0.0),
+            qshift=(_load_qshift(z["qshift"]) if "qshift" in z else 0.0),
+            qscale=(float(z["qscale"]) if "qscale" in z else 1.0),
             reps=jnp.asarray(z["reps"]),
             data_c=jnp.asarray(d_np),
             ids_c=jnp.asarray(z["ids_c"]),
@@ -932,21 +968,53 @@ def build_cnns(
     if slab_dtype is None:
         slab_dtype = jnp.float32
     qshift = 0.0
+    qscale = 1.0
     if slab_dtype == jnp.int8:
-        # uint8 space (L2SpaceI, space_l2.h:294-323; sift_1b.cpp uint8
-        # flow): store x-128 as int8 — L2 is shift-invariant, and the
-        # int8 MXU path is exact integer math. Values must be 0..255.
         if metric != "l2":
             raise ValueError("int8 slabs support the l2 metric only")
-        qshift = 128.0
-        data_c = data_c - np.float32(qshift)
-        reps = reps - np.float32(qshift)
+        def _chunked_all(pred, arr, step=1 << 19):
+            return all(
+                pred(arr[s : s + step]) for s in range(0, len(arr), step)
+            )
+
+        if (
+            data_np.min() >= 0.0 and data_np.max() <= 255.0
+            and _chunked_all(
+                lambda a: np.array_equal(a, np.round(a)), data_np
+            )
+        ):
+            # uint8 space (L2SpaceI, space_l2.h:294-323; sift_1b.cpp
+            # uint8 flow): store x-128 as int8 — L2 is shift-invariant
+            # and the int8 MXU path is exact integer math
+            qshift = 128.0
+            data_c = data_c - np.float32(qshift)
+            reps = reps - np.float32(qshift)
+        else:
+            # arbitrary f32 data: per-dim shift (L2 is invariant to any
+            # vector shift) + global symmetric scale into [-127, 127];
+            # scans then carry int8 quantization noise in the ranking
+            # (norms stay f32-exact in the quantized domain), distances
+            # are rescaled by qscale^2 on return
+            qshift = data_np.mean(axis=0).astype(np.float32)
+            mx = max(
+                float(np.abs(data_np[s : s + (1 << 19)] - qshift).max())
+                for s in range(0, n, 1 << 19)
+            )
+            qscale = (mx / 127.0) or 1.0
+            for s in range(0, len(data_c), 64):   # in-place, chunked
+                blk = data_c[s : s + 64]
+                blk -= qshift
+                blk /= np.float32(qscale)
+                np.round(blk, out=blk)
+            data_c[ids_c < 0] = 0.0   # pads would overflow int8
+            reps = (reps - qshift) / np.float32(qscale)
     # device slabs filled in chunks: one whole-tensor f32 transfer plus a
     # separate cast allocates ~3x the slab bytes at once and OOMs HBM at
     # Deep10M scale; chunked fill peaks at slab bytes + one chunk
     slabs, cnorms = _fill_device_slabs(data_c, slab_dtype, metric)
     return CNNSIndex(
         qshift=qshift,
+        qscale=qscale,
         n_real=n_real,
         reps=jnp.asarray(reps),
         data_c=slabs,

@@ -51,8 +51,11 @@ def _scan_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
     else:
+        # mixed case (quantized slabs, bf16 queries): upcast the slab
+        # tile — one VPU pass per fetched block, negligible vs the GEMM
         dots = jax.lax.dot_general(
-            q, s, (((1,), (1,)), ((), ())),
+            q, s.astype(q.dtype) if s.dtype != q.dtype else s,
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                              # [cap, maxc]
     dist = bias_ref[0] - jnp.float32(scale) * dots   # bias [1, maxc]
@@ -98,7 +101,8 @@ def _join_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
         ).astype(jnp.float32)
     else:
         dots = jax.lax.dot_general(
-            q, s, (((1,), (1,)), ((), ())),
+            q, s.astype(q.dtype) if s.dtype != q.dtype else s,
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     dist = bias_ref[0] - jnp.float32(scale) * dots
@@ -258,7 +262,8 @@ def _scan_kernel_gq(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
         ).astype(jnp.float32)
     else:
         dots = jax.lax.dot_general(
-            q, s, (((1,), (1,)), ((), ())),
+            q, s.astype(q.dtype) if s.dtype != q.dtype else s,
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     dist = bias_ref[0] - jnp.float32(scale) * dots

@@ -98,3 +98,67 @@ class TestUint8CNNS:
         with pytest.raises(ValueError, match="l2"):
             build_cnns(x, CNNSConfig(n_clusters=8, m=1, kmeans_iters=3),
                        metric="ip", slab_dtype=jnp.int8)
+
+
+class TestQuantizedInt8CNNS:
+    """int8 slabs over arbitrary (non-integral) f32 data: per-dim shift +
+    global scale quantization. Unlike the uint8 space this carries
+    quantization noise in the ranking — the gate is recall within a point
+    of the f32 scan and distances back in metric units."""
+
+    def test_quantized_slabs_near_f32(self):
+        import jax.numpy as jnp
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+        from hnsw_nsg_tpu.ops import brute_force_topk, recall
+
+        # realistic dim (the mode targets bandwidth-bound large-d configs
+        # like GIST-960; int8 noise averages out over dims — at toy d=24
+        # the same noise costs several recall points)
+        rng = np.random.default_rng(7)
+        centers = rng.standard_normal((16, 96)).astype(np.float32) * 2
+        x = (centers[rng.integers(0, 16, 20_000)]
+             + rng.standard_normal((20_000, 96))).astype(np.float32)
+        q = (centers[rng.integers(0, 16, 96)]
+             + rng.standard_normal((96, 96)).astype(np.float32))
+
+        i8 = build_cnns(x, CNNSConfig(n_clusters=16, m=2, kmeans_iters=6),
+                        slab_dtype=jnp.int8)
+        f32 = build_cnns(x, CNNSConfig(n_clusters=16, m=2, kmeans_iters=6))
+        assert i8.qscale != 1.0 and i8.data_c.dtype == jnp.int8
+        assert np.asarray(i8.qshift).shape == (96,)
+
+        d8, ids8 = i8.search(q, k=10, nprobe=6)
+        df, idsf = f32.search(q, k=10, nprobe=6)
+        _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 10)
+        r8 = recall(np.asarray(ids8), np.asarray(gt))
+        rf = recall(np.asarray(idsf), np.asarray(gt))
+        # contract: <= ~3 recall points at d>=96 for 2x scan bandwidth
+        # (slab-side int8 noise only; queries stay bf16 — q_round=False)
+        assert r8 >= rf - 0.035, (r8, rf)
+        # distances rescaled to metric units (quantization-level tolerance)
+        d8 = np.asarray(d8)
+        ids8 = np.asarray(ids8)
+        for r in range(8):
+            ref = ((q[r] - x[ids8[r, 0]]) ** 2).sum()
+            np.testing.assert_allclose(d8[r, 0], ref, rtol=0.2, atol=0.5)
+
+    def test_quantized_save_load(self, tmp_path):
+        import jax.numpy as jnp
+        from hnsw_nsg_tpu.models.cnns import CNNSIndex, build_cnns
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((2000, 16)).astype(np.float32)
+        idx = build_cnns(x, CNNSConfig(n_clusters=8, m=2, kmeans_iters=4),
+                         slab_dtype=jnp.int8)
+        p = str(tmp_path / "q.npz")
+        idx.save(p)
+        idx2 = CNNSIndex.load(p)
+        assert idx2.qscale == idx.qscale
+        np.testing.assert_allclose(np.asarray(idx2.qshift),
+                                   np.asarray(idx.qshift))
+        q = x[:8]
+        d1, i1 = idx.search(q, k=5, nprobe=4)
+        d2, i2 = idx2.search(q, k=5, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
