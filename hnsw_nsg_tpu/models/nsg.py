@@ -431,8 +431,17 @@ def build_nsg(
         ep = find_medoid(data, metric)
 
     ep_row = knn_adj[ep]
-    adj_np = np.full((n, cfg.R), PAD_ID, np.int32)
-    dists_np = np.full((n, cfg.R), np.float32(3.4e37), np.float32)
+    # large builds amortize per-block dispatch chains over bigger blocks
+    # and accumulate on device (donated update-slice) instead of a host
+    # fetch per block — the 1M build was serialized on those syncs
+    if n >= (1 << 18):
+        block = max(block, 4096)
+    adj_dev = jnp.full((n, cfg.R), PAD_ID, jnp.int32)
+    dists_dev = jnp.full((n, cfg.R), jnp.float32(3.4e37), jnp.float32)
+    store = jax.jit(
+        lambda buf, blk, s: jax.lax.dynamic_update_slice(buf, blk, (s, 0)),
+        donate_argnums=(0,),
+    )
 
     for s in range(0, n, block):
         node_ids = jnp.arange(s, min(s + block, n), dtype=jnp.int32)
@@ -441,8 +450,10 @@ def build_nsg(
         kept_i, kept_d = _collect_and_prune_block(
             node_ids, data, norms, knn_adj, init, cfg, metric
         )
-        adj_np[s : s + b] = np.asarray(kept_i)
-        dists_np[s : s + b] = np.asarray(kept_d)
+        adj_dev = store(adj_dev, kept_i, jnp.int32(s))
+        dists_dev = store(dists_dev, kept_d, jnp.int32(s))
+    adj_np = np.array(adj_dev)      # writable copies: _interinsert
+    dists_np = np.array(dists_dev)  # mutates them in place
 
     adj_np, dists_np = _interinsert(
         data, norms, adj_np, dists_np, cfg, metric, block
