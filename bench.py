@@ -120,8 +120,21 @@ def main():
     n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 1024, 8)))
 
     t0 = time.time()
-    x, queries = make_data(n, d, nq, metric, uint8=cfg.get("uint8", False))
-    log(f"data: {n}x{d} {metric}, {nq} queries ({time.time() - t0:.1f}s)")
+    data_cache = f"/tmp/bench_data_{cfg_name}_{n}_{nq}.npz"
+    if os.path.exists(data_cache):
+        z = np.load(data_cache)
+        x, queries = z["x"], z["q"]
+        log(f"data (cached, {data_cache}, {time.time() - t0:.1f}s)")
+    else:
+        x, queries = make_data(
+            n, d, nq, metric, uint8=cfg.get("uint8", False)
+        )
+        log(f"data: {n}x{d} {metric}, {nq} queries "
+            f"({time.time() - t0:.1f}s)")
+        try:  # deterministic (seeded); caching only saves regen time
+            np.savez(data_cache, x=x, q=queries)
+        except OSError:
+            pass
 
     t0 = time.time()
     gt_cache = f"/tmp/bench_gt_{cfg_name}_{n}_{nq}_{K}.npy"

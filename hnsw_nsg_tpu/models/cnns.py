@@ -765,6 +765,64 @@ class CNNSIndex:
         )
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=())
+def _pack_slab_chunk(buf, nrm, cents, data, ids_chunk, qshift, inv_scale,
+                     start):
+    """Pack one chunk of slabs from DEVICE-resident data: row gather +
+    (shift, scale) transform (+ int8 rounding) + norms + slab means, all
+    on device. The host-side pack at 1M x 960 spent ~60 s of numpy copies
+    plus the full slab transfer through the tunnel."""
+    b, maxc = ids_chunk.shape
+    d = data.shape[1]
+    ok = ids_chunk >= 0
+    rows = jnp.take(
+        data, jnp.where(ok, ids_chunk, 0).reshape(-1), axis=0
+    ).reshape(b, maxc, d).astype(jnp.float32)
+    rows = (rows - qshift[None, None, :]) * inv_scale
+    if buf.dtype == jnp.int8:
+        rows = jnp.round(rows)
+    rows = jnp.where(ok[:, :, None], rows, 0.0)
+    buf = jax.lax.dynamic_update_slice(
+        buf, rows.astype(buf.dtype), (start, 0, 0)
+    )
+    if nrm is not None:
+        nrm = jax.lax.dynamic_update_slice(
+            nrm, squared_norms(rows), (start, 0)
+        )
+    counts = jnp.maximum(ok.sum(axis=1), 1)[:, None].astype(jnp.float32)
+    cents = jax.lax.dynamic_update_slice(
+        cents, rows.sum(axis=1) / counts, (start, 0)
+    )
+    return buf, nrm, cents
+
+
+def _pack_device_slabs(data_dev, ids_c_np, qshift, qscale, slab_dtype,
+                       metric, chunk: int = 256):
+    """Chunked device slab pack. Returns (slabs, norms, slab means) —
+    means in the transformed (shift/scale) domain, like the slabs."""
+    c, maxc = ids_c_np.shape
+    d = data_dev.shape[1]
+    buf = jnp.zeros((c, maxc, d), slab_dtype)
+    nrm = jnp.zeros((c, maxc), jnp.float32) if metric == "l2" else None
+    cents = jnp.zeros((c, d), jnp.float32)
+    shift = jnp.broadcast_to(
+        jnp.asarray(qshift, jnp.float32).reshape(-1), (d,)
+    )
+    inv = jnp.float32(1.0 / qscale)
+    starts = list(range(0, max(c - chunk, 0) + 1, chunk))
+    if starts[-1] + chunk < c:
+        starts.append(c - chunk)
+    if c <= chunk:
+        starts = [0]
+        chunk = c
+    for s in starts:
+        buf, nrm, cents = _pack_slab_chunk(
+            buf, nrm, cents, data_dev,
+            jnp.asarray(ids_c_np[s : s + chunk]), shift, inv, jnp.int32(s),
+        )
+    return buf, nrm, cents
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
 def _fill_slab_chunk(buf, nrm, blk, start):
     buf = jax.lax.dynamic_update_slice(
@@ -862,9 +920,14 @@ def build_cnns(
     )
     assign = np.asarray(assign)
     k0 = centroids.shape[0]
-    # free the k-means device copy before the slab tensor allocates: at
-    # Deep10M scale both do not fit HBM together
-    del data_dev, data
+    flat = local_index == "flat"
+    if not flat:
+        # free the k-means device copy before the slab tensor allocates:
+        # at Deep10M scale both do not fit HBM together. The flat path
+        # keeps it — slabs pack FROM it on device (no host data_c, no
+        # slab transfer through the tunnel).
+        del data_dev
+    del data
 
     # slab layout: oversized clusters are split into multiple slabs so the
     # common pad width maxc stays ~2x the mean cluster size — padding width
@@ -888,19 +951,27 @@ def build_cnns(
 
     ids_c = np.full((c, maxc), PAD_ID, np.int32)
     ids_c[slab_row, slot] = order
-    data_c = np.zeros((c, maxc, d), np.float32)
     valid = ids_c >= 0
-    data_c[valid] = data_np[ids_c[valid]]
     sizes = valid.sum(axis=1)
+    data_c = None
+    if not flat:
+        data_c = np.zeros((c, maxc, d), np.float32)
+        data_c[valid] = data_np[ids_c[valid]]
 
     # representatives: centroid (slab mean) + m random members
-    # (cluster_IVF_nndescent.cpp:143-186)
+    # (cluster_IVF_nndescent.cpp:143-186). Flat path: the centroid row is
+    # filled from the device pack's slab means below.
     reps = np.zeros((c, cfg.m + 1, d), np.float32)
     safe_sz = np.maximum(sizes, 1)
-    reps[:, 0] = data_c.sum(axis=1) / safe_sz[:, None]
-    reps[sizes == 0, 0] = data_np[0]
+    if not flat:
+        reps[:, 0] = data_c.sum(axis=1) / safe_sz[:, None]
+        reps[sizes == 0, 0] = data_np[0]
     pick = (rng.random((c, cfg.m)) * safe_sz[:, None]).astype(np.int64)
-    reps[:, 1:] = data_c[np.arange(c)[:, None], pick]
+    member_gids = np.take_along_axis(
+        ids_c, pick.astype(np.int64), axis=1
+    )
+    member_gids = np.where(member_gids >= 0, member_gids, 0)
+    reps[:, 1:] = data_np[member_gids]
 
     flat_adj = None
     eps_flat = None
@@ -938,6 +1009,7 @@ def build_cnns(
         flat_adj = jnp.asarray(flat_adj_np)
 
     n_real = c
+    n_real_pre = c
     # pad the slab count to a multiple of 64 so the grouped cluster-major
     # sweep can use contiguous fixed-size blocks; padded slabs have
     # far-away representatives (never probed), PAD ids, zero data
@@ -947,9 +1019,10 @@ def build_cnns(
         reps = np.concatenate(
             [reps, np.full((pad, cfg.m + 1, d), 1e15, np.float32)]
         )
-        data_c = np.concatenate(
-            [data_c, np.zeros((pad, maxc, d), np.float32)]
-        )
+        if data_c is not None:
+            data_c = np.concatenate(
+                [data_c, np.zeros((pad, maxc, d), np.float32)]
+            )
         ids_c = np.concatenate(
             [ids_c, np.full((pad, maxc), PAD_ID, np.int32)]
         )
@@ -987,7 +1060,8 @@ def build_cnns(
             # uint8 flow): store x-128 as int8 — L2 is shift-invariant
             # and the int8 MXU path is exact integer math
             qshift = 128.0
-            data_c = data_c - np.float32(qshift)
+            if data_c is not None:
+                data_c = data_c - np.float32(qshift)
             reps = reps - np.float32(qshift)
         else:
             # arbitrary f32 data: per-dim shift (L2 is invariant to any
@@ -1001,17 +1075,33 @@ def build_cnns(
                 for s in range(0, n, 1 << 19)
             )
             qscale = (mx / 127.0) or 1.0
-            for s in range(0, len(data_c), 64):   # in-place, chunked
-                blk = data_c[s : s + 64]
-                blk -= qshift
-                blk /= np.float32(qscale)
-                np.round(blk, out=blk)
-            data_c[ids_c < 0] = 0.0   # pads would overflow int8
+            if data_c is not None:
+                for s2 in range(0, len(data_c), 64):  # in-place, chunked
+                    blk = data_c[s2 : s2 + 64]
+                    blk -= qshift
+                    blk /= np.float32(qscale)
+                    np.round(blk, out=blk)
+                data_c[ids_c < 0] = 0.0   # pads would overflow int8
             reps = (reps - qshift) / np.float32(qscale)
-    # device slabs filled in chunks: one whole-tensor f32 transfer plus a
-    # separate cast allocates ~3x the slab bytes at once and OOMs HBM at
-    # Deep10M scale; chunked fill peaks at slab bytes + one chunk
-    slabs, cnorms = _fill_device_slabs(data_c, slab_dtype, metric)
+    if flat:
+        # device-resident pack: gather rows from the resident dataset,
+        # transform, norm — no host data_c, no slab tensor through the
+        # tunnel (measured ~60 s numpy pack + ~23-240 s transfer at 1M+)
+        slabs, cnorms, cents = _pack_device_slabs(
+            data_dev, ids_c, qshift, qscale, slab_dtype, metric
+        )
+        del data_dev
+        reps[:, 0] = np.asarray(cents)
+        if (sizes == 0).any():
+            empty = np.nonzero(sizes == 0)[0]
+            empty = empty[empty < n_real_pre]
+            reps[empty, 0] = reps[empty, 1]
+    else:
+        # device slabs filled in chunks: one whole-tensor f32 transfer
+        # plus a separate cast allocates ~3x the slab bytes at once and
+        # OOMs HBM at Deep10M scale; chunked fill peaks at slab bytes +
+        # one chunk
+        slabs, cnorms = _fill_device_slabs(data_c, slab_dtype, metric)
     return CNNSIndex(
         qshift=qshift,
         qscale=qscale,

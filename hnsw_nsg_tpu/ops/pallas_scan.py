@@ -39,25 +39,44 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dots(q, s):
+    """q [a, d] x s [b, d]^T -> f32 [a, b] on the MXU.
+
+    int8 x int8 (uint8 spaces): exact s32 integer math at 2x bf16 rate.
+    Mixed (quantized int8 slabs, bf16 queries): the slab tile upcasts in
+    row chunks — casting a whole [maxc, 960] tile at once blew the 16 MB
+    scoped-vmem stack (measured 20 MB at the GIST shape)."""
+    if q.dtype == jnp.int8 and s.dtype == jnp.int8:
+        return jax.lax.dot_general(
+            q, s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    if q.dtype == s.dtype:
+        return jax.lax.dot_general(
+            q, s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ch = max(128, ((2 << 20) // (s.shape[1] * 2)) // 128 * 128)
+    if ch >= s.shape[0]:
+        return jax.lax.dot_general(
+            q, s.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    parts = []
+    for i0 in range(0, s.shape[0], ch):
+        sl = s[i0 : min(i0 + ch, s.shape[0])]
+        parts.append(jax.lax.dot_general(
+            q, sl.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    return jnp.concatenate(parts, axis=1)
+
+
 def _scan_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
                  *, k: int, scale: float):
     q = qv_ref[0]                      # [cap, d]
     s = slab_ref[0]                    # [maxc, d]
-    if q.dtype == jnp.int8:
-        # integer path (uint8 spaces stored shift-by-128): s8 x s8 -> s32
-        # on the MXU is exact and runs at 2x the bf16 rate
-        dots = jax.lax.dot_general(
-            q, s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-    else:
-        # mixed case (quantized slabs, bf16 queries): upcast the slab
-        # tile — one VPU pass per fetched block, negligible vs the GEMM
-        dots = jax.lax.dot_general(
-            q, s.astype(q.dtype) if s.dtype != q.dtype else s,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                              # [cap, maxc]
+    dots = _dots(q, s)                 # [cap, maxc]
     dist = bias_ref[0] - jnp.float32(scale) * dots   # bias [1, maxc]
     cap, maxc = dist.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (cap, maxc), 1)
@@ -94,17 +113,7 @@ def _join_kernel(qv_ref, slab_ref, bias_ref, vals_ref, idx_ref,
       unsupported) and transpose once into the outputs."""
     q = qv_ref[0]                      # [rc, d]
     s = slab_ref[0]                    # [mm, d]
-    if q.dtype == jnp.int8:
-        dots = jax.lax.dot_general(
-            q, s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-    else:
-        dots = jax.lax.dot_general(
-            q, s.astype(q.dtype) if s.dtype != q.dtype else s,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    dots = _dots(q, s)
     dist = bias_ref[0] - jnp.float32(scale) * dots
     rc, mm = dist.shape
     g = mm // group
@@ -255,17 +264,7 @@ def _scan_kernel_gq(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
             preferred_element_type=jnp.float32,
         ).astype(qc.dtype)             # [cap, d]
     s = slab_ref[0]                    # [maxc, d]
-    if q.dtype == jnp.int8:
-        dots = jax.lax.dot_general(
-            q, s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32)
-    else:
-        dots = jax.lax.dot_general(
-            q, s.astype(q.dtype) if s.dtype != q.dtype else s,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    dots = _dots(q, s)
     dist = bias_ref[0] - jnp.float32(scale) * dots
     cap, maxc = dist.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (cap, maxc), 1)
