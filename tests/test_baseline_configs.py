@@ -10,6 +10,7 @@ from hnsw_nsg_tpu.ops import brute_force_topk, recall
 from hnsw_nsg_tpu.utils.params import CNNSConfig, HNSWConfig
 
 
+@pytest.mark.slow
 def test_gist_dim_960(rng):
     """960-d vectors (GIST1M shape): distance tiling correctness across a
     non-multiple-of-128 feature dim."""
@@ -26,6 +27,7 @@ def test_gist_dim_960(rng):
     np.testing.assert_allclose(dists[0, 0], true, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_glove_style_ip(rng):
     """Inner-product MIPS path (GloVe shape) through HNSW."""
     x = rng.standard_normal((2000, 100)).astype(np.float32)

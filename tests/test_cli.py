@@ -45,6 +45,7 @@ def test_full_cluster_pipeline(workdir, capsys):
     assert out["recall"] > 0.8, out
 
 
+@pytest.mark.slow
 def test_search_clusters_ablation_axes(workdir, capsys):
     """router x local x rank_by CLI flags (the experiment_feature ablation
     drivers: cluster_hnsw_hnsw_search.cpp, sort_by_min_dist.cpp)."""
@@ -103,6 +104,7 @@ def test_calculate_recall(workdir, tmp_path, capsys):
     assert out["recall"] == 1.0
 
 
+@pytest.mark.slow
 def test_hybrid_cli(workdir, capsys, tmp_path):
     """build-hybrid / search-hybrid e2e (test_hnsw_nsg_search.cpp:369-395
     argv flow: build with M/efC + NSG L/R/C, then a search_L recall sweep)."""

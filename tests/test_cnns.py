@@ -73,6 +73,7 @@ class TestCNNSFlat:
 
 
 class TestCNNSNsg:
+    @pytest.mark.slow
     def test_nsg_local_recall(self, clustered):
         x, q = clustered
         cfg = CNNSConfig(
@@ -114,6 +115,7 @@ class TestHybrid:
         with pytest.raises(RuntimeError, match="build_nsg_layer"):
             hy.search_knn(q[:2], k=1)
 
+    @pytest.mark.slow  # persistence is covered fast by TestCNNS save/load
     def test_save_load(self, clustered, tmp_path):
         x, q = clustered
         hy = HybridHNSWNSG(

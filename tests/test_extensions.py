@@ -96,6 +96,7 @@ class TestApiLayer:
         idx.add_items(x)
         return idx
 
+    @pytest.mark.slow
     def test_index_epsilon_query(self):
         rng = np.random.default_rng(21)
         x = rng.standard_normal((3000, 16)).astype(np.float32)
@@ -117,6 +118,7 @@ class TestApiLayer:
         # self is within any epsilon
         assert all(r in set(labels[r].tolist()) for r in range(4))
 
+    @pytest.mark.slow
     def test_multivector_index(self):
         from hnsw_nsg_tpu.api import MultiVectorIndex
 

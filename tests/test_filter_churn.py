@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 
 class TestSelectiveFilter:
+    @pytest.mark.slow
     def test_one_percent_filter_returns_k_passing(self, rng):
         n, d, k = 4000, 32, 10
         x = rng.standard_normal((n, d)).astype(np.float32)

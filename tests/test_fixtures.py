@@ -50,6 +50,7 @@ def test_hnsw_recall_floor(fixture):
     assert r >= 0.97, f"HNSW fixture recall regressed: {r}"
 
 
+@pytest.mark.slow
 def test_nsg_recall_floor(fixture):
     x, q, gt = fixture
     knn = knn_graph_exact(x, 20, query_block=2000)

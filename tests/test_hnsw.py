@@ -158,6 +158,7 @@ class TestPersistence:
         np.testing.assert_array_equal(l1, l2)
         np.testing.assert_allclose(d1, d2, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_load_with_bigger_capacity_and_append(self, tmp_path, rng):
         x = rng.standard_normal((100, 8)).astype(np.float32)
         idx = HNSWIndex(8, 100)

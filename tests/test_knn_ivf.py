@@ -1,11 +1,13 @@
 """Cluster-join kNN graph (the large-N TPU build path)."""
 
 import numpy as np
+import pytest
 
 from hnsw_nsg_tpu.ops import knn_graph_exact, recall
 from hnsw_nsg_tpu.models.knn_ivf import knn_graph_ivf
 
 
+@pytest.mark.slow
 def test_matches_exact_graph_quality():
     rng = np.random.default_rng(17)
     centers = rng.standard_normal((24, 32)).astype(np.float32)

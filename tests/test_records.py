@@ -110,6 +110,7 @@ class TestRecordGraph:
 
 
 class TestHNSWAccel:
+    @pytest.mark.slow
     def test_accel_query_parity(self, setup):
         """knn_query with the record accel path matches the plain path."""
         from hnsw_nsg_tpu.models.hnsw import HNSWIndex
