@@ -78,9 +78,17 @@ def make_data(n, d, q, metric, seed=0, uint8=False):
     n_centers = max(n // 2500, 8)
     centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 1.0
     assign = rng.integers(0, n_centers, n)
-    x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    # generate f32 directly and in row blocks: the f64 default costs 2x
+    # the RNG work plus an n*d*8 B intermediate (77 GB at deep10m scale)
+    x = np.empty((n, d), np.float32)
+    for s in range(0, n, 1_000_000):
+        e = min(s + 1_000_000, n)
+        x[s:e] = centers[assign[s:e]]
+        x[s:e] += rng.standard_normal((e - s, d), dtype=np.float32)
     qa = rng.integers(0, n_centers, q)
-    queries = centers[qa] + rng.standard_normal((q, d)).astype(np.float32)
+    queries = centers[qa] + rng.standard_normal(
+        (q, d), dtype=np.float32
+    )
     if metric == "ip":
         # GloVe-style: normalized vectors, inner-product ranking
         x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-9

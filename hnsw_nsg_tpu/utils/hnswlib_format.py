@@ -146,12 +146,16 @@ def write_hnswlib_index(
         return
 
     arena = np.zeros((n, stride), np.uint8)
-    adj0 = np.asarray(adj0)[:, :max_m0]
+    # ascontiguousarray: device arrays can come back F-ordered, and
+    # .view(np.uint8) below requires a contiguous last axis
+    adj0 = np.ascontiguousarray(np.asarray(adj0)[:, :max_m0])
     counts = (adj0 >= 0).sum(axis=1).astype(np.uint16)
     flags = np.where(np.asarray(deleted), 1, 0).astype(np.uint16)
     arena[:, 0:2] = counts[:, None].view(np.uint8).reshape(n, 2)
     arena[:, 2:4] = flags[:, None].view(np.uint8).reshape(n, 2)
-    links = np.where(adj0 >= 0, adj0, 0).astype(np.uint32)
+    links = np.ascontiguousarray(
+        np.where(adj0 >= 0, adj0, 0), np.uint32
+    )
     if adj0.shape[1] < max_m0:
         links = np.pad(links, ((0, 0), (0, max_m0 - adj0.shape[1])))
     arena[:, 4 : 4 + max_m0 * 4] = links.view(np.uint8).reshape(n, -1)
