@@ -248,9 +248,15 @@ def main():
             "BENCH_SLAB", "int8" if cfg.get("uint8") else "bf16"
         )
         build_dtype = jnp.int8 if slab == "int8" else None
+        # boundary replication into the dead pad slots: recall-per-probe
+        # rises at zero extra scan cost/memory (flat local only)
+        replicate = local == "flat" and os.environ.get(
+            "BENCH_REPLICATE", "1"
+        ) != "0"
         idx = build_cnns(
             x,
-            CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12),
+            CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12,
+                       replicate=replicate),
             metric=metric,
             local_index=local,
             slab_dtype=build_dtype,
@@ -269,7 +275,7 @@ def main():
             + (idx.cnorms_c.size * 4 if idx.cnorms_c is not None else 0)
             + (idx.flat_adj.size * 4 if idx.flat_adj is not None else 0)
         )
-        for nprobe in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+        for nprobe in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
             if nprobe > idx.n_clusters:
                 break
             dd, ii = idx.search(queries_dev, k=K, nprobe=nprobe)

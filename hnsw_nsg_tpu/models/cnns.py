@@ -231,11 +231,12 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "cap", "block", "approx", "pallas",
-                     "q_round"),
+                     "q_round", "k_out"),
 )
 def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
                           cap: int, block: int, approx: bool,
-                          pallas: bool = False, q_round: bool = True):
+                          pallas: bool = False, q_round: bool = True,
+                          k_out: int | None = None):
     """Inverted, cluster-major probe scan.
 
     The per-query slot scan (_flat_probe_search) gathers each probed slab
@@ -428,7 +429,10 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
     out_i = out_i.reshape(qn, npr, k).at[pq_dst, ps].set(
         sp_i, mode="drop"
     ).reshape(qn, npr * k)
-    return topk_smallest(out_d, out_i, k)
+    # k_out > k widens only this final cross-cluster merge (spilled
+    # indexes fetch 2k so id-dedup can still return k unique); the
+    # per-cluster kernel k stays small, where extraction passes cost
+    return topk_smallest(out_d, out_i, min(k_out or k, npr * k))
 
 
 def _xla_slab_sweep(qv, data_c, ids_c, cnorms_c, qidx, k, metric,
@@ -490,11 +494,12 @@ def _xla_slab_sweep(qv, data_c, ids_c, cnorms_c, qidx, k, metric,
     jax.jit,
     static_argnames=("k", "metric", "nprobe", "rank_by", "route_m",
                      "cap", "block", "approx", "n_valid", "pallas",
-                     "q_round"),
+                     "q_round", "k_out"),
 )
 def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
                      nprobe, rank_by, route_m, cap, block, approx,
-                     n_valid=None, pallas=False, q_round=True):
+                     n_valid=None, pallas=False, q_round=True,
+                     k_out=None):
     """Route + grouped scan as ONE device program: per-dispatch overhead
     on the tunneled TPU is ~30-50 ms, a large fraction of a ~100 ms
     batch, so the two stages fuse."""
@@ -503,7 +508,7 @@ def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
     return _grouped_probe_search(
         q, visit, data_c, ids_c, cnorms_c, k, metric,
         cap=cap, block=block, approx=approx, pallas=pallas,
-        q_round=q_round,
+        q_round=q_round, k_out=k_out,
     )
 
 
@@ -511,6 +516,24 @@ def _default_pallas() -> bool:
     """The fused Pallas sweep is the production path on TPU; the XLA
     sweep serves CPU (tests) and debugging."""
     return jax.default_backend() not in ("cpu",)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def dedup_topk(d, i, k: int):
+    """Drop duplicate ids from distance-ascending (dists, ids) rows,
+    keeping the first (closest) occurrence, and return the top k.
+
+    Spilled indexes hold each boundary point in two slabs; when both are
+    probed the candidate list carries the id twice. Each id appears at
+    most twice, so 2k candidates always contain >= k unique ids."""
+    k2 = i.shape[1]
+    eq = (i[:, :, None] == i[:, None, :]) & (i[:, :, None] >= 0)
+    earlier = jnp.tril(jnp.ones((k2, k2), jnp.bool_), -1)[None]
+    dup = jnp.any(eq & earlier, axis=2)
+    dd = jnp.where(dup, PAD_DIST, d)
+    ii = jnp.where(dup, PAD_ID, i)
+    nd, sel = jax.lax.top_k(-dd, k)
+    return -nd, jnp.take_along_axis(ii, sel, axis=1)
 
 
 @dataclasses.dataclass
@@ -533,6 +556,9 @@ class CNNSIndex:
     flat_adj: jax.Array | None = None   # [C*maxc, R]
     eps_flat: np.ndarray | None = None  # [C] entry points in flat ids
     cnorms_c: jax.Array | None = None   # [C, maxc] cached cluster norms
+    # pad slots carry boundary-point replicas (CNNSConfig.replicate):
+    # searches fetch 2k candidates and dedup ids in the final merge
+    replicated: bool = False
 
     def __post_init__(self):
         if self.n_real is None:
@@ -619,6 +645,10 @@ class CNNSIndex:
             queries, k, nprobe, l_search, expand, rank_by, group,
             route_m, router,
         )
+        if self.replicated:
+            # replicated boundary points can surface from two probed
+            # slabs; the impl fetched 2k candidates and deduped here
+            d, i = dedup_topk(d, i, k)
         if self.qscale != 1.0:
             # slabs live in the quantized domain; report metric-unit dists
             d = d * jnp.float32(self.qscale) ** 2
@@ -661,6 +691,7 @@ class CNNSIndex:
                     route_m, cap, 64, False, n_real,
                     pallas=_default_pallas(),
                     q_round=self.qscale == 1.0,
+                    k_out=2 * k if self.replicated else None,
                 )
         visit = self._route(q, nprobe, rank_by, route_m)  # [Q, V]
         if self.local_index == "flat":
@@ -684,9 +715,13 @@ class CNNSIndex:
                 q, visit, self.data_c, self.ids_c, cnorms, k,
                 self.metric, cap=cap, block=64, approx=False,
                 pallas=_default_pallas(), q_round=self.qscale == 1.0,
+                k_out=2 * k if self.replicated else None,
             )
+        # the per-query path's running merge must carry the duplicates,
+        # so the whole scan widens to 2k for spilled indexes
         return _flat_probe_search(
-            q, visit, self.data_c, self.ids_c, cnorms, k, self.metric,
+            q, visit, self.data_c, self.ids_c, cnorms,
+            2 * k if self.replicated else k, self.metric,
             q_round=self.qscale == 1.0,
         )
 
@@ -737,6 +772,7 @@ class CNNSIndex:
             sizes=self.sizes,
             metric=self.metric,
             local_index=self.local_index,
+            replicated=np.bool_(self.replicated),
             flat_adj=(np.asarray(self.flat_adj)
                       if self.flat_adj is not None else np.zeros((0, 0), np.int32)),
             eps_flat=(self.eps_flat if self.eps_flat is not None
@@ -760,6 +796,8 @@ class CNNSIndex:
             sizes=z["sizes"],
             metric=str(z["metric"]),
             local_index=str(z["local_index"]),
+            replicated=(bool(z["replicated"])
+                        if "replicated" in z else False),
             flat_adj=jnp.asarray(flat_adj) if flat_adj.size else None,
             eps_flat=z["eps_flat"] if z["eps_flat"].size else None,
         )
@@ -851,6 +889,118 @@ def _fill_device_slabs(data_c_np, slab_dtype, metric, chunk: int = 64):
             buf, nrm, jnp.asarray(data_c_np[s : s + chunk]), jnp.int32(s)
         )
     return buf, nrm
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _slab_mean_chunk(cents, data, ids_chunk, qshift, inv_scale, start):
+    """Mean of each slab's ORIGINAL members in the transformed domain
+    (the routing representative must not drift when boundary replicas are
+    packed into the pad slots afterwards)."""
+    b, maxc = ids_chunk.shape
+    d = data.shape[1]
+    ok = ids_chunk >= 0
+    rows = jnp.take(
+        data, jnp.where(ok, ids_chunk, 0).reshape(-1), axis=0
+    ).reshape(b, maxc, d).astype(jnp.float32)
+    rows = (rows - qshift[None, None, :]) * inv_scale
+    rows = jnp.where(ok[:, :, None], rows, 0.0)
+    counts = jnp.maximum(ok.sum(axis=1), 1)[:, None].astype(jnp.float32)
+    return jax.lax.dynamic_update_slice(
+        cents, rows.sum(axis=1) / counts, (start, 0)
+    )
+
+
+def _slab_means(data_dev, ids_c_np, qshift, qscale, chunk: int = 256):
+    c, _ = ids_c_np.shape
+    d = data_dev.shape[1]
+    cents = jnp.zeros((c, d), jnp.float32)
+    shift = jnp.broadcast_to(
+        jnp.asarray(qshift, jnp.float32).reshape(-1), (d,)
+    )
+    inv = jnp.float32(1.0 / qscale)
+    chunk = min(chunk, c)
+    starts = list(range(0, c - chunk + 1, chunk))
+    if starts[-1] + chunk < c:
+        starts.append(c - chunk)
+    for s in starts:
+        cents = _slab_mean_chunk(
+            cents, data_dev, jnp.asarray(ids_c_np[s : s + chunk]),
+            shift, inv, jnp.int32(s),
+        )
+    return cents
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _replica_top2_chunk(x_chunk, cents, qshift, inv_scale, metric):
+    """Two nearest slab representatives of each point (bf16 GEMM — rank
+    selection at slab granularity, insensitive to rounding)."""
+    xq = (x_chunk.astype(jnp.float32) - qshift[None, :]) * inv_scale
+    dd = pairwise_dists(
+        xq.astype(jnp.bfloat16), cents.astype(jnp.bfloat16),
+        metric, exact=False,
+    )
+    nd, ni = jax.lax.top_k(-dd, 2)
+    return -nd, ni
+
+
+def _replica_fill_ids(data_dev, ids_c, sizes, home_slab, cents_np,
+                      qshift, qscale, metric, n_real, chunk=1 << 15):
+    """Fill each slab's free pad slots with replicas of the points whose
+    nearest OTHER slab it is, closest first.
+
+    The probe kernel scans the full padded slab width whether the slots
+    hold data or zeros, so replication is free at query time: a boundary
+    point becomes reachable from both of its closest clusters, raising
+    recall at fixed nprobe. (The reference has no analogue — its clusters
+    are exact partitions — but IVF spilled/soft assignment is standard
+    practice; this variant spends only bytes that padding already wastes.)
+    Returns ids_c with replicas appended after each slab's members.
+    """
+    n = data_dev.shape[0]
+    c, maxc = ids_c.shape
+    # unusable replica targets: slab-count padding, empty slabs
+    cents_m = cents_np.copy()
+    cents_m[n_real:] = 1e15
+    cents_m[sizes[:len(cents_m)] == 0] = 1e15
+    cents_dev = jnp.asarray(cents_m)
+    shift = jnp.broadcast_to(
+        jnp.asarray(qshift, jnp.float32).reshape(-1),
+        (data_dev.shape[1],),
+    )
+    inv = jnp.float32(1.0 / qscale)
+    top2_d = np.empty((n, 2), np.float32)
+    top2_i = np.empty((n, 2), np.int32)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        dchunk, ichunk = _replica_top2_chunk(
+            data_dev[s:e], cents_dev, shift, inv, metric
+        )
+        top2_d[s:e] = np.asarray(dchunk, np.float32)
+        top2_i[s:e] = np.asarray(ichunk)
+
+    use2 = top2_i[:, 0] == home_slab
+    target = np.where(use2, top2_i[:, 1], top2_i[:, 0])
+    t_dist = np.where(use2, top2_d[:, 1], top2_d[:, 0])
+    ok = (target != home_slab) & (target < n_real) & (sizes[target] > 0)
+    g = np.nonzero(ok)[0]
+    target = target[g]
+    t_dist = t_dist[g]
+
+    free = np.where(sizes > 0, maxc - sizes, 0)
+    order = np.lexsort((t_dist, target))
+    t_sorted = target[order]
+    g_sorted = g[order]
+    # rank within each target group (groups are contiguous after lexsort)
+    boundaries = np.concatenate(
+        [[0], np.nonzero(np.diff(t_sorted))[0] + 1, [len(t_sorted)]]
+    )
+    grp_start = np.repeat(boundaries[:-1], np.diff(boundaries))
+    pos = np.arange(len(t_sorted)) - grp_start
+    take = pos < free[t_sorted]
+    t_sel = t_sorted[take]
+    out = ids_c.copy()
+    out[t_sel, sizes[t_sel] + pos[take]] = g_sorted[take]
+    return out
 
 
 def local_hnsw_arena(
@@ -1083,7 +1233,22 @@ def build_cnns(
                     np.round(blk, out=blk)
                 data_c[ids_c < 0] = 0.0   # pads would overflow int8
             reps = (reps - qshift) / np.float32(qscale)
+    if cfg.replicate and not flat:
+        raise ValueError(
+            "boundary replication requires local_index='flat'")
     if flat:
+        if cfg.replicate:
+            # routing reps = means of the ORIGINAL members, computed
+            # before replicas land in the pad slots
+            cents_np = np.asarray(
+                _slab_means(data_dev, ids_c, qshift, qscale)
+            )
+            home = np.empty(n, np.int32)
+            home[order] = slab_row.astype(np.int32)
+            ids_c = _replica_fill_ids(
+                data_dev, ids_c, sizes, home, cents_np,
+                qshift, qscale, metric, n_real_pre,
+            )
         # device-resident pack: gather rows from the resident dataset,
         # transform, norm — no host data_c, no slab tensor through the
         # tunnel (measured ~60 s numpy pack + ~23-240 s transfer at 1M+)
@@ -1091,7 +1256,7 @@ def build_cnns(
             data_dev, ids_c, qshift, qscale, slab_dtype, metric
         )
         del data_dev
-        reps[:, 0] = np.asarray(cents)
+        reps[:, 0] = cents_np if cfg.replicate else np.asarray(cents)
         if (sizes == 0).any():
             empty = np.nonzero(sizes == 0)[0]
             empty = empty[empty < n_real_pre]
@@ -1112,6 +1277,7 @@ def build_cnns(
         sizes=sizes,
         metric=metric,
         local_index=local_index,
+        replicated=bool(cfg.replicate),
         flat_adj=flat_adj,
         eps_flat=eps_flat,
         cnorms_c=cnorms,

@@ -200,6 +200,7 @@ class ShardedCNNSIndex:
     cnorms_c: jax.Array  # [C_pad, maxc] sharded
     n_clusters: int      # real cluster count (pre-padding)
     metric: str = "l2"
+    replicated: bool = False  # slabs carry replicas -> dedup merge
 
     @classmethod
     def build(cls, mesh: Mesh, idx) -> "ShardedCNNSIndex":
@@ -245,12 +246,13 @@ class ShardedCNNSIndex:
             cnorms_c=cnorms,
             n_clusters=c,
             metric=idx.metric,
+            replicated=bool(getattr(idx, "replicated", False)),
         )
 
     def search(self, queries, k: int, nprobe: int = 4,
                slots: int | None = None):
         """Returns (dists [Q, k], global ids [Q, k], evals [S])."""
-        from ..models.cnns import _route_clusters
+        from ..models.cnns import _route_clusters, dedup_topk
 
         q = as_f32_queries(queries)
         s = self.mesh.shape[AXIS]
@@ -259,6 +261,10 @@ class ShardedCNNSIndex:
         visit = _route_clusters(q, self.reps, nprobe, self.metric)
         visit = jnp.where(visit < self.n_clusters, visit, PAD_ID)
         metric = self.metric
+        # spilled slabs can surface a replicated id from two probed
+        # clusters (possibly on one shard): carry 2k through the local
+        # merge and the all-gather, dedup to k after
+        kk = 2 * k if self.replicated else k
         rows_per = self.data_c.shape[0] // s
 
         @functools.partial(
@@ -307,19 +313,24 @@ class ShardedCNNSIndex:
                 evals = evals + jnp.sum(valid)
                 cd = jnp.concatenate([best_d, d], axis=1)
                 ci = jnp.concatenate([best_i, ic], axis=1)
-                bd, bi = topk_smallest(cd, ci, k)
+                bd, bi = topk_smallest(cd, ci, kk)
                 return (bd, bi, evals), None
 
             init = (
-                jnp.full((qf.shape[0], k), PAD_DIST, jnp.float32),
-                jnp.full((qf.shape[0], k), PAD_ID, jnp.int32),
+                jnp.full((qf.shape[0], kk), PAD_DIST, jnp.float32),
+                jnp.full((qf.shape[0], kk), PAD_ID, jnp.int32),
                 jnp.zeros((), jnp.int32),
             )
             (ld, li, evals), _ = jax.lax.scan(slot_fn, init, sel.T)
-            gd, gi = _merge_allgather(ld, li, k)
+            gd, gi = _merge_allgather(ld, li, kk)
             return gd, gi, evals[None]
 
-        return run(q, visit, self.data_c, self.ids_c, self.cnorms_c)
+        gd, gi, evals = run(
+            q, visit, self.data_c, self.ids_c, self.cnorms_c
+        )
+        if self.replicated:
+            gd, gi = dedup_topk(gd, gi, k)
+        return gd, gi, evals
 
 
 DCN_AXIS = "dcn"
@@ -362,6 +373,7 @@ class MultiSliceCNNSIndex:
     cnorms_c: jax.Array
     n_clusters: int
     metric: str = "l2"
+    replicated: bool = False
 
     @classmethod
     def build(cls, mesh: Mesh, idx) -> "MultiSliceCNNSIndex":
@@ -408,13 +420,14 @@ class MultiSliceCNNSIndex:
             ),
             n_clusters=c,
             metric=idx.metric,
+            replicated=bool(getattr(idx, "replicated", False)),
         )
 
     def search(self, queries, k: int, nprobe: int = 4,
                slots: int | None = None):
         """Returns (dists [Q, k], ids [Q, k], evals [n_slices, S]).
         Queries are processed slice-data-parallel: rows shard over DCN."""
-        from ..models.cnns import _route_clusters
+        from ..models.cnns import _route_clusters, dedup_topk
 
         q = as_f32_queries(queries)
         n_sl = self.mesh.shape[DCN_AXIS]
@@ -427,6 +440,7 @@ class MultiSliceCNNSIndex:
         nprobe = min(nprobe, self.n_clusters)
         metric = self.metric
         n_clusters = self.n_clusters
+        kk = 2 * k if self.replicated else k  # dedup room for replicas
         q = jax.device_put(
             q, jax.sharding.NamedSharding(self.mesh, P(DCN_AXIS, None))
         )
@@ -482,20 +496,25 @@ class MultiSliceCNNSIndex:
                 evals = evals + jnp.sum(valid)
                 bd, bi = topk_smallest(
                     jnp.concatenate([best_d, d], axis=1),
-                    jnp.concatenate([best_i, ic], axis=1), k,
+                    jnp.concatenate([best_i, ic], axis=1), kk,
                 )
                 return (bd, bi, evals), None
 
             init = (
-                jnp.full((qf.shape[0], k), PAD_DIST, jnp.float32),
-                jnp.full((qf.shape[0], k), PAD_ID, jnp.int32),
+                jnp.full((qf.shape[0], kk), PAD_DIST, jnp.float32),
+                jnp.full((qf.shape[0], kk), PAD_ID, jnp.int32),
                 jnp.zeros((), jnp.int32),
             )
             (ld, li, evals), _ = jax.lax.scan(slot_fn, init, sel.T)
-            gd, gi = _merge_allgather(ld, li, k)  # ICI only
+            gd, gi = _merge_allgather(ld, li, kk)  # ICI only
             return gd, gi, evals[None, None]
 
-        return run(q, self.reps, self.data_c, self.ids_c, self.cnorms_c)
+        gd, gi, evals = run(
+            q, self.reps, self.data_c, self.ids_c, self.cnorms_c
+        )
+        if self.replicated:
+            gd, gi = dedup_topk(gd, gi, k)
+        return gd, gi, evals
 
 
 def sharded_knn_build_step(mesh, data_sharded, k: int):

@@ -95,5 +95,11 @@ class CNNSConfig:
     nprobe: int = 8
     k: int = 100
     kmeans_iters: int = 20
+    # Fill dead slab-padding slots with replicas of boundary points
+    # (each point's nearest OTHER slab). The probe kernel scans the full
+    # padded slab width regardless, so replication raises recall-per-probe
+    # at zero extra scan cost and zero extra memory; duplicates are removed
+    # in the final top-k merge. Flat local index only.
+    replicate: bool = False
     nndescent: NNDescentConfig = NNDescentConfig()
     nsg: NSGBuildConfig = NSGBuildConfig()

@@ -153,6 +153,79 @@ class TestGroupedFlat:
             )
 
 
+class TestReplicate:
+    """Boundary replication into dead pad slots (CNNSConfig.replicate):
+    recall-per-probe rises at zero extra memory/scan cost; results stay
+    duplicate-free via the merge dedup."""
+
+    @pytest.fixture(scope="class")
+    def pair(self, clustered):
+        x, q = clustered
+        base = build_cnns(
+            x, CNNSConfig(n_clusters=16, m=3, kmeans_iters=10)
+        )
+        rep = build_cnns(
+            x, CNNSConfig(n_clusters=16, m=3, kmeans_iters=10,
+                          replicate=True)
+        )
+        return x, q, base, rep
+
+    def test_replicas_fill_pad_slots(self, pair):
+        x, _, base, rep = pair
+        ids0 = np.asarray(base.ids_c)
+        ids1 = np.asarray(rep.ids_c)
+        assert (ids1 >= 0).sum() > (ids0 >= 0).sum()
+        # every point still present, each id at most twice, never twice
+        # in the same slab
+        counts = np.bincount(ids1[ids1 >= 0], minlength=x.shape[0])
+        assert counts.min() >= 1 and counts.max() <= 2
+        for row in ids1:
+            rr = row[row >= 0]
+            assert len(np.unique(rr)) == len(rr)
+        # memory identical: same slab tensor shape/dtype
+        assert rep.data_c.shape == base.data_c.shape
+        assert rep.data_c.dtype == base.data_c.dtype
+
+    @pytest.mark.parametrize("group", [False, True])
+    def test_recall_improves_no_duplicates(self, pair, group):
+        x, q, base, rep = pair
+        _, gt = brute_force_topk(q, x, 10)
+        gt = np.asarray(gt)
+        for nprobe in (1, 2):
+            _, i0 = base.search(q, k=10, nprobe=nprobe, group=group)
+            _, i1 = rep.search(q, k=10, nprobe=nprobe, group=group)
+            i1 = np.asarray(i1)
+            for row in i1:
+                rr = row[row >= 0]
+                assert len(set(rr.tolist())) == len(rr)
+            assert (recall(i1, gt)
+                    >= recall(np.asarray(i0), gt) - 0.005)
+
+    def test_full_probe_still_exact(self, pair):
+        x, q, _, rep = pair
+        d, i = rep.search(q, k=10, nprobe=16)
+        _, gt = brute_force_topk(q, x, 10)
+        assert recall(np.asarray(i), np.asarray(gt)) > 0.999
+
+    def test_save_load_keeps_flag(self, pair, tmp_path):
+        x, q, _, rep = pair
+        p = str(tmp_path / "rep.npz")
+        rep.save(p)
+        idx2 = CNNSIndex.load(p)
+        assert idx2.replicated
+        _, i = idx2.search(q, k=10, nprobe=2)
+        _, gt = brute_force_topk(q, x, 10)
+        assert recall(np.asarray(i), np.asarray(gt)) > 0.9
+
+    def test_requires_flat_local(self, clustered):
+        x, _ = clustered
+        with pytest.raises(ValueError):
+            build_cnns(
+                x, CNNSConfig(n_clusters=16, replicate=True),
+                local_index="nsg",
+            )
+
+
 class TestSpill:
     """Host-spill search under an HBM budget (the cgroup-harness analogue,
     CNNS/script/test_with_cgroup.sh + the lazy pipeline driver)."""

@@ -126,6 +126,40 @@ class TestShardedCNNS:
             evals.sum(), single_evals
         )
 
+    def test_replicated_index_dedups_across_shards(self, rng):
+        """A boundary-replicated index sharded over the mesh: the home
+        and replica slab of a point can land on different shards, so the
+        cross-shard merge must dedup (CNNSConfig.replicate)."""
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.parallel.mesh import ShardedCNNSIndex, make_mesh
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        n, d, nq, k = 6000, 24, 64, 10
+        centers = rng.standard_normal((30, d)).astype(np.float32) * 2
+        x = (centers[rng.integers(0, 30, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        q = (centers[rng.integers(0, 30, nq)]
+             + rng.standard_normal((nq, d))).astype(np.float32)
+        base = build_cnns(x, CNNSConfig(n_clusters=30, m=2,
+                                        kmeans_iters=8))
+        rep = build_cnns(x, CNNSConfig(n_clusters=30, m=2, kmeans_iters=8,
+                                       replicate=True))
+        mesh = make_mesh(8)
+        s_base = ShardedCNNSIndex.build(mesh, base)
+        s_rep = ShardedCNNSIndex.build(mesh, rep)
+        assert s_rep.replicated
+        _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), k)
+        gt = np.asarray(gt)
+        for nprobe in (2, 4):
+            _, i0, _ = s_base.search(q, k=k, nprobe=nprobe)
+            _, i1, _ = s_rep.search(q, k=k, nprobe=nprobe)
+            i1 = np.asarray(i1)
+            for row in i1:
+                rr = row[row >= 0]
+                assert len(set(rr.tolist())) == len(rr)
+            assert (recall(i1, gt)
+                    >= recall(np.asarray(i0), gt) - 0.01)
+
 
 class TestMultiSlice:
     """2-D (dcn, ici) mesh: index replicated per slice, queries
