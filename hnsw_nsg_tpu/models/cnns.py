@@ -53,6 +53,11 @@ from .nsg import build_nsg
 from .rptree import knn_graph_rp
 from ..ops.bruteforce import knn_graph_exact
 
+# scoped-VMEM budget for the gq kernel's resident query block (the 16 MB
+# stack minus headroom for the scan transients); above it the grouped
+# scan pre-gathers query rows instead (see _grouped_probe_search)
+_GQ_VMEM_BUDGET = 12 << 20
+
 
 @functools.partial(
     jax.jit,
@@ -299,7 +304,9 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         # ON the MXU via one-hot matmul instead of jnp.take's C*cap
         # scattered row gathers (~0.75 us/row — ~100 ms at the bench
         # shape, formerly the dominant cost of the whole search)
-        from ..ops.pallas_scan import grouped_cluster_topk_gq
+        from ..ops.pallas_scan import (
+            grouped_cluster_topk, grouped_cluster_topk_gq,
+        )
 
         if metric in ("ip", "cosine"):
             bias = jnp.where(ids_c >= 0, 1.0, jnp.inf).astype(jnp.float32)
@@ -309,10 +316,35 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
                 ids_c >= 0, cnorms_c, jnp.inf
             ).astype(jnp.float32)
             scale = 2.0
-        td, li = grouped_cluster_topk_gq(
-            qc, qidx, data_c, bias, k, scale,
-            interpret=jax.default_backend() == "cpu",
+        # The gq kernel keeps the WHOLE query set VMEM-resident across
+        # the grid (that is what makes its one-hot gather free) — at
+        # large d it no longer fits the 16 MB scoped-VMEM stack
+        # (qn*d bf16 alone is 15.7 MB at 8192x960). Fall back to the
+        # pre-gathered-query kernel: same fused scan, query rows
+        # gathered by XLA instead (~0.75 us x C*cap rows — at the
+        # large-d shapes where this triggers, C*cap is small and the
+        # scan itself is slab-bandwidth-bound, so the gather is noise).
+        gq_vmem = (
+            qc.size * qc.dtype.itemsize
+            + maxc * d * data_c.dtype.itemsize
+            + 2 * cap * maxc * 4          # dist + masked-update temps
+            + cap * qc.shape[0]           # one-hot sel tile
         )
+        if gq_vmem <= _GQ_VMEM_BUDGET:
+            td, li = grouped_cluster_topk_gq(
+                qc, qidx, data_c, bias, k, scale,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            qv = jnp.where(
+                (qidx >= 0)[:, :, None],
+                jnp.take(qc, jnp.where(qidx >= 0, qidx, 0), axis=0),
+                0,
+            )                                          # [C, cap, d]
+            td, li = grouped_cluster_topk(
+                qv, data_c, bias, k, scale,
+                interpret=jax.default_backend() == "cpu",
+            )
         live = (qidx >= 0)[:, :, None]
         gi = jnp.take_along_axis(ids_c[:, None, :], li, axis=2)
         gi = jnp.where(live & jnp.isfinite(td), gi, PAD_ID)

@@ -99,3 +99,32 @@ def test_gq_kernel_matches_take_path():
                                np.asarray(v_tk)[live], rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_gq)[live],
                                   np.asarray(i_tk)[live])
+
+
+def test_large_d_vmem_fallback(monkeypatch):
+    """At large d the gq kernel's VMEM-resident query block exceeds the
+    scoped stack (measured: 8192x960 bf16 = 15.7 MB > 16 MB limit at the
+    GIST shape) and _grouped_probe_search must select the pre-gathered
+    kernel. Forcing the budget to 0 exercises that path at a small shape;
+    results must be identical to the gq path (same fused scan)."""
+    from hnsw_nsg_tpu.models import cnns as cnns_mod
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 24)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 8, 4000)]
+         + rng.standard_normal((4000, 24))).astype(np.float32)
+    q = (centers[rng.integers(0, 8, 64)]
+         + rng.standard_normal((64, 24))).astype(np.float32)
+    idx = build_cnns(x, CNNSConfig(n_clusters=8, m=2, kmeans_iters=4))
+    visit = idx._route(jnp.asarray(q), 4)
+    cnorms = (idx.cnorms_c if idx.cnorms_c is not None
+              else jnp.zeros(idx.ids_c.shape, jnp.float32))
+    args = (jnp.asarray(q), visit, idx.data_c, idx.ids_c, cnorms, 10,
+            "l2")
+    d_gq, i_gq = _grouped_probe_search(*args, cap=64, block=64,
+                                       approx=False, pallas=True)
+    monkeypatch.setattr(cnns_mod, "_GQ_VMEM_BUDGET", 0)
+    d_fb, i_fb = _grouped_probe_search(*args, cap=64, block=64,
+                                       approx=False, pallas=True)
+    np.testing.assert_array_equal(np.asarray(i_fb), np.asarray(i_gq))
+    np.testing.assert_allclose(np.asarray(d_fb), np.asarray(d_gq),
+                               rtol=1e-5, atol=1e-4)
