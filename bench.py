@@ -29,7 +29,7 @@ Engines (BENCH_ENGINE):
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_Q (8192), BENCH_CLUSTERS,
 BENCH_ENGINE, BENCH_CONFIG (sift1m | gist1m | glove | deep10m |
-sift10m_u8), BENCH_SLAB (bf16 | f32 | int8; cnns only — int8 is the
+sift10m_u8 | uniform1m), BENCH_SLAB (bf16 | f32 | int8; cnns only — int8 is the
 default for uint8 configs and requires 0..255-valued data), BENCH_VERBOSE=1.
 """
 
@@ -49,6 +49,9 @@ import numpy as np  # noqa: E402
 BASELINE_QPS = 5000.0
 K = 10
 TARGET_RECALL = 0.95
+# Salt for the /tmp data/GT caches: bump whenever make_data (or anything
+# feeding it) changes, so stale cached datasets are never silently reused.
+DATA_VERSION = 2
 
 # dataset-shaped synthetic configs (real sets are not in the image;
 # dims/metric/N match BASELINE.md's named benchmarks)
@@ -60,6 +63,11 @@ CONFIGS = {
     # sift_1b.cpp:243-344 uint8 configuration at the single-chip HBM
     # scale: uint8 vectors stored as int8 slabs (exact integer MXU math)
     "sift10m_u8": dict(n=10_000_000, d=128, metric="l2", uint8=True),
+    # adversarial no-structure config: one isotropic Gaussian blob, the
+    # worst case for IVF routing (every cluster boundary is artificial and
+    # true neighbors straddle them) — bounds the clustered-synthetic
+    # headline from below
+    "uniform1m": dict(n=1_000_000, d=128, metric="l2", uniform=True),
 }
 
 
@@ -68,15 +76,20 @@ def log(msg):
         print(msg, file=sys.stderr, flush=True)
 
 
-def make_data(n, d, q, metric, seed=0, uint8=False):
+def make_data(n, d, q, metric, seed=0, uint8=False, uniform=False):
     """Clustered synthetic. Center scale 1.0 gives inter/intra distance
     ratio ~2 (mildly separated mixture) — round 1 used 2.0, which makes
     clusters near-disjoint: that flatters IVF-style routing and starves
     graph traversal of cross-cluster paths, neither of which real
-    SIFT/GIST/GloVe data exhibits (VERDICT.md round-1 weakness #4)."""
+    SIFT/GIST/GloVe data exhibits (VERDICT.md round-1 weakness #4).
+
+    uniform=True drops the mixture entirely (center scale 0): a single
+    isotropic Gaussian with zero cluster structure — the IVF worst case."""
     rng = np.random.default_rng(seed)
     n_centers = max(n // 2500, 8)
-    centers = rng.standard_normal((n_centers, d)).astype(np.float32) * 1.0
+    centers = rng.standard_normal((n_centers, d)).astype(np.float32)
+    if uniform:
+        centers *= 0.0
     assign = rng.integers(0, n_centers, n)
     # generate f32 directly and in row blocks: the f64 default costs 2x
     # the RNG work plus an n*d*8 B intermediate (77 GB at deep10m scale)
@@ -101,10 +114,12 @@ def make_data(n, d, q, metric, seed=0, uint8=False):
     return x.astype(np.float32), queries.astype(np.float32)
 
 
-def hnsw_memory_rule(n, d, m=16):
+def hnsw_memory_rule(n, d, m=16, elem_bytes=4):
     """Reference index-memory rule: M*8-10 B/elem + vector bytes
-    (hnswlib/ALGO_PARAMS.md:17-18). Returns the 10B/link upper figure."""
-    return n * (m * 10 + d * 4)
+    (hnswlib/ALGO_PARAMS.md:17-18). Returns the 10B/link upper figure.
+    elem_bytes: stored bytes per dimension — 4 for f32 spaces, 1 for the
+    uint8 L2SpaceI configuration (sift_1b.cpp stores bvecs at 1 B/dim)."""
+    return n * (m * 10 + d * elem_bytes)
 
 
 def main():
@@ -128,14 +143,15 @@ def main():
     n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 1024, 8)))
 
     t0 = time.time()
-    data_cache = f"/tmp/bench_data_{cfg_name}_{n}_{nq}.npz"
+    data_cache = f"/tmp/bench_data_v{DATA_VERSION}_{cfg_name}_{n}_{nq}.npz"
     if os.path.exists(data_cache):
         z = np.load(data_cache)
         x, queries = z["x"], z["q"]
         log(f"data (cached, {data_cache}, {time.time() - t0:.1f}s)")
     else:
         x, queries = make_data(
-            n, d, nq, metric, uint8=cfg.get("uint8", False)
+            n, d, nq, metric, uint8=cfg.get("uint8", False),
+            uniform=cfg.get("uniform", False),
         )
         log(f"data: {n}x{d} {metric}, {nq} queries "
             f"({time.time() - t0:.1f}s)")
@@ -145,7 +161,7 @@ def main():
             pass
 
     t0 = time.time()
-    gt_cache = f"/tmp/bench_gt_{cfg_name}_{n}_{nq}_{K}.npy"
+    gt_cache = f"/tmp/bench_gt_v{DATA_VERSION}_{cfg_name}_{n}_{nq}_{K}.npy"
     if os.path.exists(gt_cache):
         gt = np.load(gt_cache)
         xd = qd = None
@@ -158,8 +174,9 @@ def main():
         np.save(gt_cache, gt)
         log(f"ground truth ({time.time() - t0:.1f}s)")
 
-    raw_bytes = n * d * 4
-    ref_rule = hnsw_memory_rule(n, d)
+    elem_bytes = 1 if cfg.get("uint8") else 4
+    raw_bytes = n * d * elem_bytes
+    ref_rule = hnsw_memory_rule(n, d, elem_bytes=elem_bytes)
     best = None
     index_bytes = 0
 
@@ -301,10 +318,19 @@ def main():
     log(f"index bytes: {index_bytes / 1e9:.2f} GB "
         f"(raw vectors {raw_bytes / 1e9:.2f} GB, "
         f"reference HNSW rule {ref_rule / 1e9:.2f} GB)")
+    data_kind = "uniform-synthetic" if cfg.get("uniform") else (
+        "clustered-synthetic")
+    if r >= TARGET_RECALL:
+        head = f"QPS at recall@10>={TARGET_RECALL} (measured {r:.3f})"
+    else:
+        # the sweep never reached the target: refuse to dress the last
+        # operating point up as the headline — say so explicitly
+        head = (f"TARGET recall@10>={TARGET_RECALL} NOT REACHED "
+                f"(best {r:.3f}), QPS at that sub-target point")
     print(json.dumps({
         "metric": (
-            f"QPS at recall@10>={TARGET_RECALL} (measured {r:.3f}), "
-            f"{cfg_name} N={n} d={d} {metric} clustered-synthetic, "
+            f"{head}, "
+            f"{cfg_name} N={n} d={d} {metric} {data_kind}, "
             f"engine={engine} {setting}, build_s={build_s:.0f}, "
             f"index_gb={index_bytes / 1e9:.2f} "
             f"(ref_hnsw_rule_gb={ref_rule / 1e9:.2f}), 1 TPU chip"

@@ -320,3 +320,49 @@ class TestRouterAndLocalAblations:
         d, ids = idx.search(q, k=10, nprobe=6, l_search=64)
         r = recall(np.asarray(ids), gt)
         assert r > 0.8, r
+
+
+class TestRouteQuality:
+    """Regression gate on the routing approximations (VERDICT r2 weak #7).
+
+    Production routing runs bf16 representative distances plus hardware
+    approx_max_k (cnns.py _route_clusters). That stack was validated by a
+    one-off 0.988 top-40 overlap measurement; this test pins the contract:
+    at a 1M-shaped rep row (C=1024 clusters x m1=5 reps = 5120-wide), the
+    approximate route must keep >= 0.97 mean top-nprobe overlap with an
+    exact f32 route under identical ranking. A silent quality regression
+    here would otherwise surface only as mysterious end-to-end recall loss.
+    """
+
+    def test_bf16_approx_route_matches_exact_f32(self):
+        import jax
+        import jax.numpy as jnp
+        from hnsw_nsg_tpu.models.cnns import _rank_rep_hits, _route_clusters
+        from hnsw_nsg_tpu.ops.distance import pairwise_dists
+
+        rng = np.random.default_rng(7)
+        c, m1, d, nq, nprobe = 1024, 5, 128, 512, 4
+        # reps drawn like CNNS reps: cluster centroid + nearby members
+        centers = rng.standard_normal((c, d)).astype(np.float32)
+        reps = (centers[:, None]
+                + 0.3 * rng.standard_normal((c, m1, d))).astype(np.float32)
+        q = (centers[rng.integers(0, c, nq)]
+             + rng.standard_normal((nq, d))).astype(np.float32)
+        qd = jnp.asarray(q)
+        reps_d = jnp.asarray(reps)
+
+        visit_approx = _route_clusters(qd, reps_d, nprobe, "l2")
+        # exact reference route: f32 rep distances, exact top_k, identical
+        # hit ranking
+        rd = pairwise_dists(qd, reps_d.reshape(c * m1, d), "l2", exact=True)
+        _, rep_idx = jax.lax.top_k(-rd, nprobe * m1)
+        visit_exact = _rank_rep_hits(rep_idx, m1, nprobe, "hits")
+
+        va = np.asarray(visit_approx)
+        ve = np.asarray(visit_exact)
+        overlap = np.mean([
+            len(set(va[i][va[i] >= 0]) & set(ve[i][ve[i] >= 0]))
+            / max(1, (ve[i] >= 0).sum())
+            for i in range(nq)
+        ])
+        assert overlap >= 0.97, overlap
