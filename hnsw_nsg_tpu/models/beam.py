@@ -34,6 +34,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.distance import PAD_DIST, PAD_ID, gathered_dists
 from ..ops.topk import init_retset, merge_into_retset
@@ -120,6 +121,145 @@ def beam_search(
         cond, body, (r_d, r_i, r_e, jnp.int32(0), hops, evals)
     )
     return BeamResult(r_d, r_i, hops, evals)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("expand", "n_hops", "metric", "use_kernel"),
+)
+def _scan_hops_adj(queries, data, norms, adj, r_d, r_i, r_e,
+                   sel_ids, sel_valid, hops, evals,
+                   expand: int, n_hops: int, metric: str, use_kernel: bool):
+    """n_hops lockstep expansions over a padded-adjacency graph as ONE
+    compiled scan (`beam_search`'s while_loop pays a ~0.5 ms host
+    round-trip per data-dependent cond on this backend). Pipelined
+    expand-first like records._scan_hops; the merge+select either runs the
+    fused Pallas kernel (ops/merge_select.py) or the equivalent XLA
+    composition (CPU)."""
+    qn = queries.shape[0]
+
+    def merge_select(r_d, r_i, r_e, cd, ci):
+        if use_kernel:
+            from ..ops.merge_select import fused_merge_select
+            return fused_merge_select(r_d, r_i, r_e, cd, ci, expand)
+        r_d, r_i, r_e = merge_into_retset(r_d, r_i, r_e, cd, ci)
+        sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+        return r_d, r_i, r_e, sel_ids, sel_valid
+
+    def body(carry, _):
+        r_d, r_i, r_e, sel_ids, sel_valid, hops, evals = carry
+        nbrs = jnp.take(adj, jnp.where(sel_ids >= 0, sel_ids, 0), axis=0)
+        nbrs = jnp.where(sel_valid[:, :, None], nbrs, PAD_ID)
+        nbrs = nbrs.reshape(qn, -1)
+        cd = gathered_dists(queries, data, nbrs, metric, norms)
+        hops = hops + jnp.sum(sel_valid, axis=1).astype(jnp.int32)
+        evals = evals + jnp.sum(nbrs >= 0, axis=1).astype(jnp.int32)
+        r_d, r_i, r_e, sel_ids, sel_valid = merge_select(
+            r_d, r_i, r_e, cd, nbrs
+        )
+        return (r_d, r_i, r_e, sel_ids, sel_valid, hops, evals), None
+
+    (r_d, r_i, r_e, sel_ids, sel_valid, hops, evals), _ = jax.lax.scan(
+        body, (r_d, r_i, r_e, sel_ids, sel_valid, hops, evals),
+        None, length=n_hops,
+    )
+    return r_d, r_i, r_e, sel_ids, sel_valid, hops, evals
+
+
+@jax.jit
+def _compact_adj_batch(sel, live, q, r_d, r_i, r_e, sel_ids, sel_valid,
+                       hops, evals, orig):
+    take = functools.partial(jnp.take, indices=sel, axis=0)
+    r_e_c = jnp.where(live[:, None], take(r_e), True)
+    sid_c = jnp.where(live[:, None], take(sel_ids), PAD_ID)
+    sva_c = jnp.where(live[:, None], take(sel_valid), False)
+    orig_c = jnp.where(live, take(orig), jnp.iinfo(jnp.int32).max)
+    return (take(q), take(r_d), take(r_i), r_e_c, sid_c, sva_c,
+            take(hops), take(evals), orig_c)
+
+
+@jax.jit
+def _scatter_back(f_d, f_i, f_h, f_e, orig, r_d, r_i, hops, evals):
+    f_d = f_d.at[orig].set(r_d, mode="drop")
+    f_i = f_i.at[orig].set(r_i, mode="drop")
+    f_h = f_h.at[orig].set(hops, mode="drop")
+    f_e = f_e.at[orig].set(evals, mode="drop")
+    return f_d, f_i, f_h, f_e
+
+
+def beam_search_chunked(
+    queries: jax.Array,
+    data: jax.Array,
+    norms: jax.Array,
+    adj: jax.Array,
+    init_ids: jax.Array,
+    width: int,
+    metric: str = "l2",
+    max_hops: int = 512,
+    expand: int = 1,
+    chunk_hops: int = 32,
+    min_compact: int = 256,
+    use_kernel: bool | None = None,
+) -> BeamResult:
+    """``beam_search`` semantics, host-chunked: hops run in compiled
+    ``lax.scan`` chunks with ONE host convergence check per chunk, the
+    per-hop merge+select fused into a Pallas pass on TPU, and converged
+    queries compacted out between chunks (see beam_search_records for the
+    compaction rationale). Use this from host-driven code; ``beam_search``
+    remains for callers inside jit/shard_map (parallel/mesh.py).
+    """
+    q = jnp.asarray(queries)
+    qn = q.shape[0]
+    init_d = gathered_dists(q, data, init_ids, metric, norms)
+    r_d, r_i, r_e = init_retset(init_d, init_ids, width)
+    hops = jnp.zeros((qn,), jnp.int32)
+    evals = jnp.sum(init_ids >= 0, axis=1).astype(jnp.int32)
+    if use_kernel is None:
+        from ..ops.merge_select import default_use_kernel
+        use_kernel = default_use_kernel()
+
+    sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+    final = None
+    orig = jnp.arange(qn, dtype=jnp.int32)
+    cur_q = qn
+    hops_left = max_hops
+    while hops_left > 0:
+        n_hops = min(chunk_hops, hops_left)
+        r_d, r_i, r_e, sel_ids, sel_valid, hops, evals = _scan_hops_adj(
+            q, data, norms, adj, r_d, r_i, r_e, sel_ids, sel_valid,
+            hops, evals, expand=expand, n_hops=n_hops, metric=metric,
+            use_kernel=use_kernel,
+        )
+        hops_left -= n_hops
+        act = np.asarray(jnp.any(sel_valid, axis=1))
+        n_act = int(act.sum())
+        if n_act == 0:
+            break
+        new_q = max(min_compact, 1 << int(np.ceil(np.log2(n_act))))
+        if new_q <= cur_q // 2 and hops_left > 0:
+            if final is None:
+                final = (
+                    jnp.zeros((qn, width), r_d.dtype),
+                    jnp.full((qn, width), PAD_ID, jnp.int32),
+                    jnp.zeros((qn,), jnp.int32),
+                    jnp.zeros((qn,), jnp.int32),
+                )
+            final = _scatter_back(*final, orig, r_d, r_i, hops, evals)
+            sel_np = np.zeros(new_q, np.int32)
+            idx = np.nonzero(act)[0]
+            sel_np[: n_act] = idx
+            live_np = np.zeros(new_q, bool)
+            live_np[: n_act] = True
+            (q, r_d, r_i, r_e, sel_ids, sel_valid, hops, evals,
+             orig) = _compact_adj_batch(
+                jnp.asarray(sel_np), jnp.asarray(live_np),
+                q, r_d, r_i, r_e, sel_ids, sel_valid, hops, evals, orig,
+            )
+            cur_q = new_q
+    if final is None:
+        return BeamResult(r_d, r_i, hops, evals)
+    f_d, f_i, f_h, f_e = _scatter_back(*final, orig, r_d, r_i, hops, evals)
+    return BeamResult(f_d, f_i, f_h, f_e)
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "max_hops"))

@@ -47,7 +47,7 @@ from ..ops.distance import (
 )
 from ..ops.topk import topk_smallest
 from ..utils.params import CNNSConfig, NSGBuildConfig
-from .beam import beam_search
+from .beam import beam_search_chunked
 from .kmeans import kmeans
 from .nsg import build_nsg
 from .rptree import knn_graph_rp
@@ -774,7 +774,7 @@ class CNNSIndex:
             jnp.repeat(visit >= 0, init.shape[1] // visit.shape[1], axis=1),
             init, PAD_ID,
         )
-        res = beam_search(
+        res = beam_search_chunked(
             q, flat_data, flat_norms, self.flat_adj, init,
             width=max(l_search, k), metric=self.metric, expand=expand,
         )

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.distance import PAD_DIST, PAD_ID, squared_norms
-from .beam import beam_search
+from .beam import beam_search_chunked
 
 
 def filter_epsilon(dists: jax.Array, ids: jax.Array, epsilon: float):
@@ -51,7 +51,7 @@ def epsilon_search(
     searchStopConditionClosest + EpsilonSearchStopCondition: the candidate
     budget caps exploration; everything within epsilon among the
     max_candidates closest found is returned."""
-    res = beam_search(
+    res = beam_search_chunked(
         queries, data, norms, adj, init_ids,
         width=max_candidates, metric=metric, max_hops=max_hops,
         expand=expand,
@@ -105,7 +105,7 @@ def multivector_search(
 ):
     """Top-k distinct documents via graph search over the vector level."""
     width = width or max(4 * k, 32)
-    res = beam_search(
+    res = beam_search_chunked(
         queries, data, norms, adj, init_ids,
         width=width, metric=metric, max_hops=max_hops, expand=expand,
     )

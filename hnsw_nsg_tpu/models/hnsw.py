@@ -48,7 +48,11 @@ from ..ops.distance import (
 )
 from ..ops.topk import topk_smallest
 from ..utils.params import HNSWConfig
-from .beam import beam_search, beam_search_filtered, greedy_descent
+from .beam import (
+    beam_search_chunked,
+    beam_search_filtered,
+    greedy_descent,
+)
 from .prune import occlusion_prune_padded
 
 _BIG = np.float32(3.4e37)
@@ -234,7 +238,7 @@ class HNSWIndex:
             if visited.all():
                 break
             reps = np.nonzero(~visited)[0][:256]
-            res = beam_search(
+            res = beam_search_chunked(
                 jnp.take(self.data, jnp.asarray(reps), axis=0),
                 self.data, self.norms, jnp.asarray(adj0),
                 jnp.full((len(reps), 1), self.ep, jnp.int32),
@@ -378,7 +382,7 @@ class HNSWIndex:
                         exact=True,
                     )
                 else:
-                    res = beam_search(
+                    res = beam_search_chunked(
                         xj, self.data, self.norms, adj_l, cur[:, None],
                         width=cfg.ef_construction, metric=self.metric,
                         max_hops=256, expand=cfg.insert_expand,
@@ -681,7 +685,7 @@ class HNSWIndex:
                     i_np >= 0, self.labels[np.clip(i_np, 0, None)], -1
                 )
                 return labels, np.asarray(d)
-            res = beam_search(
+            res = beam_search_chunked(
                 q, self.data, self.norms, self.adj0, cur[:, None],
                 width=ef, metric=self.metric, expand=expand,
             )
@@ -797,7 +801,7 @@ class HNSWIndex:
         sid = jnp.asarray([slot], jnp.int32)
         for lvl in range(self.max_level, -1, -1):
             adj_l = self._adj_at(lvl)
-            res = beam_search(
+            res = beam_search_chunked(
                 x, self.data, self.norms, adj_l, cur[:, None],
                 width=cfg.ef_construction, metric=self.metric, max_hops=256,
             )

@@ -39,7 +39,7 @@ from ..ops.distance import PAD_DIST, PAD_ID, gathered_dists, squared_norms
 from ..ops.bruteforce import brute_force_topk
 from ..utils import io as io_utils
 from ..utils.params import NSGBuildConfig
-from .beam import beam_search, beam_search_collect
+from .beam import beam_search_chunked, beam_search_collect
 from .prune import occlusion_prune, occlusion_prune_padded
 
 
@@ -93,7 +93,7 @@ class NSGIndex:
                 q, self.data, self.norms, res.ids[:, :head], k,
                 metric=self.metric,
             )
-        res = beam_search(
+        res = beam_search_chunked(
             q, self.data, self.norms, self.adj, init,
             width=l_search, metric=self.metric, max_hops=max_hops,
             expand=expand,
@@ -345,7 +345,7 @@ def _tree_grow(data, norms, adj_np, ep, cfg: NSGBuildConfig, metric):
         guard += 1
         unvis = np.nonzero(~visited)[0]
         reps = unvis[:256]
-        res = beam_search(
+        res = beam_search_chunked(
             jnp.take(data, jnp.asarray(reps), axis=0),
             data, norms, adj_j,
             jnp.full((len(reps), 1), ep, jnp.int32),

@@ -245,17 +245,35 @@ def _split_query(q: jax.Array, d: int, nw: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("expand", "n_hops", "metric", "r", "nw")
+    jax.jit,
+    static_argnames=("expand", "n_hops", "metric", "r", "nw", "use_kernel"),
 )
-def _scan_hops(q_bf, rows, scale, r_d, r_i, r_e, hops, evals,
-               expand: int, n_hops: int, metric: str, r: int, nw: int):
-    """n_hops lockstep expansions compiled as ONE program; returns a single
-    scalar for the host-side convergence check (a while_loop cond costs a
-    ~0.5 ms host round-trip per hop on this backend — scan instead)."""
+def _scan_hops(q_bf, rows, scale, r_d, r_i, r_e, sel_ids, sel_valid,
+               hops, evals, expand: int, n_hops: int, metric: str,
+               r: int, nw: int, use_kernel: bool):
+    """n_hops lockstep expansions compiled as ONE program (a while_loop
+    cond costs a ~0.5 ms host round-trip per hop on this backend — scan
+    instead, with one host convergence check per chunk).
+
+    The loop is pipelined expand-first: the carry holds the frontier the
+    previous step selected; each step gathers+scores it and then runs one
+    fused merge+select (``ops.merge_select``: candidate dedup, bitonic
+    retset merge, frontier pick — one Pallas pass in VMEM instead of the
+    ~20 ms XLA chain of two top_k sorts and payload gathers per hop).
+    Results are bit-identical to the XLA composition; ``use_kernel=False``
+    keeps that composition for CPU runs.
+    """
+
+    def merge_select(r_d, r_i, r_e, cd, ci):
+        if use_kernel:
+            from ..ops.merge_select import fused_merge_select
+            return fused_merge_select(r_d, r_i, r_e, cd, ci, expand)
+        r_d, r_i, r_e = merge_into_retset(r_d, r_i, r_e, cd, ci)
+        sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+        return r_d, r_i, r_e, sel_ids, sel_valid
 
     def body(carry, _):
-        r_d, r_i, r_e, hops, evals = carry
-        sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+        r_d, r_i, r_e, sel_ids, sel_valid, hops, evals = carry
         safe = jnp.where(sel_ids >= 0, sel_ids, 0)
         rows_g = jnp.take(rows, safe, axis=0)      # [Q, E, S, 128]
         cd, ci = _record_dists(q_bf, rows_g, scale, r, nw, metric)
@@ -263,15 +281,18 @@ def _scan_hops(q_bf, rows, scale, r_d, r_i, r_e, hops, evals,
             jnp.repeat(sel_valid, r, axis=1), ci, PAD_ID
         )
         cd = jnp.where(ci >= 0, cd, PAD_DIST)
-        r_d, r_i, r_e = merge_into_retset(r_d, r_i, r_e, cd, ci)
         hops = hops + jnp.sum(sel_valid, axis=1).astype(jnp.int32)
         evals = evals + jnp.sum(ci >= 0, axis=1).astype(jnp.int32)
-        return (r_d, r_i, r_e, hops, evals), None
+        r_d, r_i, r_e, sel_ids, sel_valid = merge_select(
+            r_d, r_i, r_e, cd, ci
+        )
+        return (r_d, r_i, r_e, sel_ids, sel_valid, hops, evals), None
 
-    (r_d, r_i, r_e, hops, evals), _ = jax.lax.scan(
-        body, (r_d, r_i, r_e, hops, evals), None, length=n_hops
+    (r_d, r_i, r_e, sel_ids, sel_valid, hops, evals), _ = jax.lax.scan(
+        body, (r_d, r_i, r_e, sel_ids, sel_valid, hops, evals),
+        None, length=n_hops,
     )
-    return r_d, r_i, r_e, hops, evals, jnp.any(~r_e)
+    return r_d, r_i, r_e, sel_ids, sel_valid, hops, evals
 
 
 @jax.jit
@@ -286,14 +307,17 @@ def _scatter_final(f_d, f_i, f_h, f_e, orig, r_d, r_i, hops, evals):
 
 
 @jax.jit
-def _compact_batch(sel, live, q_bf, r_d, r_i, r_e, hops, evals, orig):
+def _compact_batch(sel, live, q_bf, r_d, r_i, r_e, sel_ids, sel_valid,
+                   hops, evals, orig):
     """Gather the still-active queries into a smaller batch. Pad rows
-    (live=False) get fully-expanded retsets so they select no frontier
-    (zero extra hops; one dead row-0 gather per expand slot per hop)."""
+    (live=False) get fully-expanded retsets and empty frontiers so they
+    do no work (one dead row-0 gather per expand slot per hop)."""
     take = functools.partial(jnp.take, indices=sel, axis=0)
     r_e_c = jnp.where(live[:, None], take(r_e), True)
+    sid_c = jnp.where(live[:, None], take(sel_ids), PAD_ID)
+    sva_c = jnp.where(live[:, None], take(sel_valid), False)
     orig_c = jnp.where(live, take(orig), jnp.iinfo(jnp.int32).max)
-    return (take(q_bf), take(r_d), take(r_i), r_e_c,
+    return (take(q_bf), take(r_d), take(r_i), r_e_c, sid_c, sva_c,
             take(hops), take(evals), orig_c)
 
 
@@ -309,6 +333,7 @@ def beam_search_records(
     expand: int = 1,
     chunk_hops: int = 32,
     min_compact: int = 256,
+    use_kernel: bool | None = None,
 ) -> BeamResult:
     """Lockstep best-first search over the packed record layout.
 
@@ -332,21 +357,29 @@ def beam_search_records(
     r_d, r_i, r_e = init_retset(init_d, init_ids, width)
     hops = jnp.zeros((qn,), jnp.int32)
     evals = jnp.sum(init_ids >= 0, axis=1).astype(jnp.int32)
+    if use_kernel is None:
+        from ..ops.merge_select import default_use_kernel
+        use_kernel = default_use_kernel()
 
     nw, _ = _layout(g.r, g.d)
     q_bf = _split_query(q, g.d, nw)
+    # the scan loop is expand-first: pick the initial frontier here
+    sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
     final = None   # (f_d, f_i, f_h, f_e) once compaction starts
     orig = jnp.arange(qn, dtype=jnp.int32)
     cur_q = qn
     hops_left = max_hops
     while hops_left > 0:
         n_hops = min(chunk_hops, hops_left)
-        r_d, r_i, r_e, hops, evals, _ = _scan_hops(
-            q_bf, g.rows, g.scale, r_d, r_i, r_e, hops, evals,
-            expand=expand, n_hops=n_hops, metric=metric, r=g.r, nw=nw,
+        r_d, r_i, r_e, sel_ids, sel_valid, hops, evals = _scan_hops(
+            q_bf, g.rows, g.scale, r_d, r_i, r_e, sel_ids, sel_valid,
+            hops, evals, expand=expand, n_hops=n_hops, metric=metric,
+            r=g.r, nw=nw, use_kernel=use_kernel,
         )
         hops_left -= n_hops
-        act = np.asarray(jnp.any(~r_e, axis=1))  # one host sync per chunk
+        # one host sync per chunk: a query is live iff it has a pending
+        # frontier to expand
+        act = np.asarray(jnp.any(sel_valid, axis=1))
         n_act = int(act.sum())
         if n_act == 0:
             break
@@ -365,9 +398,11 @@ def beam_search_records(
             sel_np[: n_act] = idx
             live_np = np.zeros(new_q, bool)
             live_np[: n_act] = True
-            q_bf, r_d, r_i, r_e, hops, evals, orig = _compact_batch(
+            (q_bf, r_d, r_i, r_e, sel_ids, sel_valid, hops, evals,
+             orig) = _compact_batch(
                 jnp.asarray(sel_np), jnp.asarray(live_np),
-                q_bf, r_d, r_i, r_e, hops, evals, orig,
+                q_bf, r_d, r_i, r_e, sel_ids, sel_valid,
+                hops, evals, orig,
             )
             cur_q = new_q
     if final is None:
