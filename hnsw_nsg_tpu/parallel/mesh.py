@@ -110,67 +110,166 @@ class ShardedFlatIndex:
 
 @dataclasses.dataclass
 class ShardedGraphIndex:
-    """Row-range sharding of a graph index: each device owns a contiguous
-    row range with an independent sub-graph (cluster sharding per SURVEY.md
-    §2.9), searched in lockstep and merged over ICI."""
+    """Row-sharded graph index with ROUTED probing: each device owns an
+    independent sub-graph (cluster sharding per SURVEY.md §2.9), a
+    replicated representative table routes every query to its ``nprobe``
+    most promising shards, and each shard beams ONLY the queries routed to
+    it (compacted into a fixed-slot block), merging over ICI.
+
+    This is the CNNS routing treatment applied to graph shards: the
+    reference ranks clusters by representative hits and searches them
+    selectively (cluster_hnsw_nsg_search.cpp:141-173); here the rank is
+    min representative distance (its sort_by_min_dist ablation variant)
+    and "selectively" is a per-shard query compaction — a shard's work is
+    ~nprobe/S of the batch instead of the whole batch on every shard.
+
+    Unequal shards are padded to the max row count (pad rows carry PAD
+    adjacency and are unreachable: entries come from representative ids,
+    which are always real rows).
+    """
 
     mesh: Mesh
-    data: jax.Array      # [S*rows, d] sharded
-    norms: jax.Array     # [S*rows] sharded
-    adj: jax.Array       # [S*rows, R] sharded, LOCAL ids (0..rows-1)
-    eps: jax.Array       # [S] entry point (local id) per shard
-    n: int
+    data: jax.Array      # [S*rows_pad, d] sharded
+    norms: jax.Array     # [S*rows_pad] sharded
+    adj: jax.Array       # [S*rows_pad, R] sharded, LOCAL ids
+    rep_ids: jax.Array   # [S, R_reps] local node ids, sharded on S
+    reps: jax.Array      # [S, R_reps, d] representative rows, REPLICATED
+    n: int               # total real rows
+    n_shard: tuple       # real rows per shard
 
     @classmethod
-    def build_from_shards(cls, mesh, datas, adjs, eps):
-        """datas/adjs: per-shard lists with equal shapes (local ids)."""
-        data = jnp.concatenate([jnp.asarray(x) for x in datas])
-        adj = jnp.concatenate([jnp.asarray(a, jnp.int32) for a in adjs])
-        ns = jax.sharding.NamedSharding(mesh, P(AXIS, None))
-        data = jax.device_put(data, ns)
-        adj = jax.device_put(adj, ns)
-        norms = jax.device_put(
-            squared_norms(data),
-            jax.sharding.NamedSharding(mesh, P(AXIS)),
-        )
+    def build_from_shards(cls, mesh, datas, adjs, eps=None,
+                          n_reps: int = 32, seed: int = 0):
+        """datas/adjs: per-shard lists (local ids; shapes may differ by
+        shard — rows pad to the max). ``eps`` (optional per-shard entry
+        ids) join the representative set; the rest are a deterministic
+        row sample."""
+        s = mesh.shape[AXIS]
+        assert len(datas) == s, (len(datas), s)
+        rng = np.random.default_rng(seed)
+        rows_pad = max(x.shape[0] for x in datas)
+        deg = max(a.shape[1] for a in adjs)
+        d = datas[0].shape[1]
+        data = np.zeros((s * rows_pad, d), np.float32)
+        adj = np.full((s * rows_pad, deg), PAD_ID, np.int32)
+        rep_ids = np.zeros((s, n_reps), np.int32)
+        reps = np.zeros((s, n_reps, d), np.float32)
+        n = 0
+        n_shard = []
+        for m in range(s):
+            x = np.asarray(datas[m], np.float32)
+            a = np.asarray(adjs[m], np.int32)
+            ns_m = x.shape[0]
+            n_shard.append(ns_m)
+            n += ns_m
+            data[m * rows_pad : m * rows_pad + ns_m] = x
+            adj[m * rows_pad : m * rows_pad + ns_m, : a.shape[1]] = a
+            sample = rng.choice(ns_m, min(n_reps, ns_m), replace=False)
+            if eps is not None:
+                sample[0] = int(eps[m])
+            rep_ids[m] = np.resize(sample, n_reps)
+            reps[m] = x[rep_ids[m]]
+        shard2 = jax.sharding.NamedSharding(mesh, P(AXIS, None))
         return cls(
-            mesh=mesh, data=data, norms=norms, adj=adj,
-            eps=jnp.asarray(eps, jnp.int32), n=data.shape[0],
+            mesh=mesh,
+            data=jax.device_put(jnp.asarray(data), shard2),
+            norms=jax.device_put(
+                squared_norms(jnp.asarray(data)),
+                jax.sharding.NamedSharding(mesh, P(AXIS)),
+            ),
+            adj=jax.device_put(jnp.asarray(adj), shard2),
+            rep_ids=jax.device_put(jnp.asarray(rep_ids), shard2),
+            reps=jnp.asarray(reps),
+            n=n,
+            n_shard=tuple(n_shard),
         )
 
     def search(self, queries, k: int, l_search: int = 64,
-               max_hops: int = 256, expand: int = 1):
+               max_hops: int = 256, expand: int = 1,
+               nprobe: int = 1, q_slots: int | None = None,
+               init_width: int = 4):
+        """Returns (dists [Q, k], global ids [Q, k], evals [S]).
+
+        nprobe: shards probed per query (min-rep-distance rank).
+        q_slots: per-shard compacted query capacity (default: 2x the
+        balanced share, power-of-two). Overflow beyond it is dropped in
+        routing-rank order — the early-stop analogue.
+        """
         q = jnp.asarray(queries)
-        rows = self.data.shape[0] // self.mesh.shape[AXIS]
+        qn = q.shape[0]
+        s = self.mesh.shape[AXIS]
+        nprobe = min(nprobe, s)
+        rows_pad = self.data.shape[0] // s
+        if q_slots is None:
+            fair = -(-qn * nprobe // s)
+            q_slots = min(qn, _next_pow2_int(2 * fair))
+        init_width = min(init_width, self.reps.shape[1])
+
+        # replicated routing: min distance to any shard representative
+        qf = q.astype(jnp.float32)
+        rep_flat = self.reps.reshape(s * self.reps.shape[1], -1)
+        from ..ops.distance import pairwise_dists
+        rd = pairwise_dists(qf, rep_flat, "l2", exact=False)
+        rd = rd.reshape(qn, s, -1).min(axis=2)            # [Q, S]
+        _, visit = jax.lax.top_k(-rd, nprobe)             # [Q, nprobe]
 
         @functools.partial(
             shard_map,
             mesh=self.mesh,
-            in_specs=(P(None, None), P(AXIS, None), P(AXIS),
-                      P(AXIS, None), P(AXIS)),
-            out_specs=(P(None, None), P(None, None)),
+            in_specs=(P(None, None), P(None, None), P(AXIS, None),
+                      P(AXIS), P(AXIS, None), P(AXIS, None)),
+            out_specs=(P(None, None), P(None, None), P(AXIS)),
             check_vma=False,
         )
-        def run(qq, xs, ns, adj, ep):
+        def run(qq, vis, xs, ns, adj, rep_ids_l):
             my = jax.lax.axis_index(AXIS)
-            init = jnp.concatenate(
-                [jnp.broadcast_to(ep[0], (qq.shape[0], 1)),
-                 jnp.take(adj, ep[0], axis=0)[None].repeat(qq.shape[0], 0)],
-                axis=1,
+            owned = jnp.any(vis == my, axis=1)            # [Q]
+            # compact owned queries into q_slots rows (query order)
+            score = jnp.where(
+                owned,
+                qn - jax.lax.broadcasted_iota(jnp.int32, (qn,), 0),
+                -1,
             )
+            _, sel = jax.lax.top_k(score, q_slots)        # [q_slots]
+            live = jnp.take(owned, sel)
+            qq_c = jnp.take(qq, sel, axis=0)
+            # per-shard entry selection: the init_width nearest
+            # representatives of THIS shard (one small GEMM)
+            rep_rows = jnp.take(xs, rep_ids_l[0], axis=0)  # [R_reps, d]
+            dr = pairwise_dists(
+                qq_c.astype(jnp.float32), rep_rows, "l2", exact=False
+            )
+            _, near = jax.lax.top_k(-dr, init_width)
+            init = jnp.take(rep_ids_l[0], near)            # [q_slots, I]
+            init = jnp.where(live[:, None], init, PAD_ID)
             res = beam_search(
-                qq, xs, ns, adj, init, width=l_search,
+                qq_c, xs, ns, adj, init, width=l_search,
                 max_hops=max_hops, expand=expand,
             )
-            ld = res.dists[:, :k] + squared_norms(qq)[:, None]
-            li = jnp.where(
-                res.ids[:, :k] >= 0,
-                res.ids[:, :k] + my * rows,
+            ld_c = res.dists[:, :k] + squared_norms(qq_c)[:, None]
+            li_c = jnp.where(
+                (res.ids[:, :k] >= 0) & live[:, None],
+                res.ids[:, :k] + my * rows_pad,
                 PAD_ID,
             )
-            return _merge_allgather(ld, li, k)
+            ld_c = jnp.where(li_c >= 0, ld_c, PAD_DIST)
+            # scatter compacted rows back to their query slots
+            dst = jnp.where(live, sel, qn)
+            ld = jnp.full((qn, k), PAD_DIST, jnp.float32).at[dst].set(
+                ld_c, mode="drop"
+            )
+            li = jnp.full((qn, k), PAD_ID, jnp.int32).at[dst].set(
+                li_c, mode="drop"
+            )
+            evals = jnp.sum(jnp.where(live, res.evals, 0))
+            gd, gi = _merge_allgather(ld, li, k)
+            return gd, gi, evals[None]
 
-        return run(q, self.data, self.norms, self.adj, self.eps)
+        return run(q, visit, self.data, self.norms, self.adj, self.rep_ids)
+
+
+def _next_pow2_int(x: int) -> int:
+    return 1 << max(0, (int(x) - 1)).bit_length()
 
 
 @dataclasses.dataclass

@@ -44,7 +44,7 @@ def test_sharded_flat_unaligned_n(mesh, rng):
 
 @pytest.mark.slow
 def test_sharded_graph_search(mesh, rng):
-    """8 independent per-shard NSGs, lockstep search, allgather merge."""
+    """8 independent per-shard NSGs, all probed (nprobe=S), merged."""
     shard_n, d = 512, 16
     datas, adjs, eps = [], [], []
     allx = []
@@ -59,14 +59,57 @@ def test_sharded_graph_search(mesh, rng):
     idx = ShardedGraphIndex.build_from_shards(mesh, datas, adjs, eps)
     x = np.concatenate(allx)
     q = rng.standard_normal((16, d)).astype(np.float32)
-    dd, ii = idx.search(q, k=10, l_search=48)
+    dd, ii, evals = idx.search(q, k=10, l_search=48, nprobe=8)
     _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 10)
     r = recall(np.asarray(ii), np.asarray(gt))
     assert r > 0.85, f"sharded graph recall {r}"
+    assert np.asarray(evals).shape == (8,)
     # distances are globally exact
     ii0 = np.asarray(ii)[0, 0]
     true = ((q[0] - x[ii0]) ** 2).sum()
     np.testing.assert_allclose(np.asarray(dd)[0, 0], true, rtol=1e-3)
+
+
+def test_sharded_graph_routed_selectivity(mesh, rng):
+    """Routed probing: shards hold k-means-style partitions (UNEQUAL
+    sizes), the rep router sends each query to nprobe shards, and the
+    per-shard eval counters prove the other shards did ~no work."""
+    d, k = 16, 10
+    centers = rng.standard_normal((8, d)).astype(np.float32) * 6
+    datas, adjs = [], []
+    allx = []
+    sizes = [300, 420, 512, 350, 600, 280, 512, 450]  # unequal on purpose
+    for s in range(8):
+        xs = (centers[s] + rng.standard_normal((sizes[s], d))).astype(
+            np.float32
+        )
+        knn = knn_graph_exact(xs, 10, query_block=1024)
+        datas.append(xs)
+        adjs.append(np.asarray(knn))
+        allx.append(xs)
+    idx = ShardedGraphIndex.build_from_shards(mesh, datas, adjs)
+    rows_pad = idx.data.shape[0] // 8
+    # global-id mapping for ground truth: padded concatenation
+    x_pad = np.zeros((8 * rows_pad, d), np.float32)
+    big = np.full((8 * rows_pad,), 1e6, np.float32)
+    for s in range(8):
+        x_pad[s * rows_pad : s * rows_pad + sizes[s]] = datas[s]
+        big[s * rows_pad : s * rows_pad + sizes[s]] = 0.0
+    q = (centers[rng.integers(0, 8, 32)]
+         + rng.standard_normal((32, d))).astype(np.float32)
+    dd, ii, evals = idx.search(q, k=k, l_search=32, nprobe=2)
+    dist_pad = ((q[:, None, :] - x_pad[None]) ** 2).sum(-1) + big[None]
+    gt = np.argsort(dist_pad, axis=1)[:, :k]
+    r = recall(np.asarray(ii), gt)
+    assert r > 0.85, f"routed sharded graph recall {r}"
+    evals = np.asarray(evals)
+    assert evals.shape == (8,)
+    # selectivity: nprobe=2 of 8 shards -> total evals must stay well
+    # under what probing every shard would cost (~4x fewer)
+    _, _, evals_all = idx.search(q, k=k, l_search=32, nprobe=8)
+    assert evals.sum() < 0.5 * np.asarray(evals_all).sum(), (
+        evals.sum(), np.asarray(evals_all).sum()
+    )
 
 
 def test_sharded_knn_build(mesh, rng):
