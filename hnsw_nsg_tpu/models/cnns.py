@@ -49,9 +49,6 @@ from ..ops.topk import topk_smallest
 from ..utils.params import CNNSConfig, NSGBuildConfig
 from .beam import beam_search_chunked
 from .kmeans import kmeans
-from .nsg import build_nsg
-from .rptree import knn_graph_rp
-from ..ops.bruteforce import knn_graph_exact
 
 # scoped-VMEM budget for the gq kernel's resident query block (the 16 MB
 # stack minus headroom for the scan transients); above it the grouped
@@ -1035,6 +1032,188 @@ def _replica_fill_ids(data_dev, ids_c, sizes, home_slab, cents_np,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("pool_w", "metric"))
+def _cluster_exact_pools(slab, sizes_b, base_ids, pool_w: int, metric: str):
+    """Exact per-node candidate pools for one block of clusters.
+
+    slab: [B, M, d] f32; sizes_b: [B] valid counts; base_ids: [B] flat-id
+    base (ci * maxc). Returns (pool_ids [B, M, pool_w] FLAT ids,
+    pool_d [B, M, pool_w] exact distances) — the top-pool_w in-cluster
+    neighbors of every member from ONE slab GEMM. This replaces the
+    reference's get_neighbors beam (index_nsg.cpp:150-285) for cluster
+    locals: a cluster fits one slab, so the candidate pool the beam
+    approximates is computable exactly on the MXU.
+    """
+    b, m, d = slab.shape
+    dots = jnp.einsum(
+        "bqd,bmd->bqm", slab, slab, preferred_element_type=jnp.float32
+    )
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    valid = slot < sizes_b[:, None]
+    if metric in ("ip", "cosine"):
+        pd = 1.0 - dots
+    else:
+        nrm = jnp.sum(slab * slab, axis=2)
+        pd = nrm[:, :, None] + nrm[:, None, :] - 2.0 * dots
+    # mask self and invalid slots (both as candidates and as nodes)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    )
+    pd = jnp.where(eye[None], PAD_DIST, pd)
+    pd = jnp.where(valid[:, None, :], pd, PAD_DIST)
+    npd, idx = jax.lax.top_k(-pd, pool_w)        # [B, M, pool_w] local
+    pool_d = -npd
+    pool_ids = jnp.where(
+        (pool_d < PAD_DIST) & valid[:, :, None],
+        base_ids[:, None, None] + idx,
+        PAD_ID,
+    )
+    pool_d = jnp.where(pool_ids >= 0, pool_d, PAD_DIST)
+    return pool_ids, pool_d
+
+
+def _cluster_medoids(slab, sizes_b):
+    """Exact per-cluster medoid slots ([B] int32): nearest member to the
+    masked slab mean (init_graph, index_nsg.cpp:287-303, batched)."""
+    b, m, d = slab.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)
+    valid = slot < sizes_b[:, None]
+    cnt = jnp.maximum(sizes_b, 1).astype(jnp.float32)
+    mean = jnp.sum(
+        jnp.where(valid[:, :, None], slab, 0.0), axis=1
+    ) / cnt[:, None]
+    d2 = jnp.sum((slab - mean[:, None, :]) ** 2, axis=2)
+    d2 = jnp.where(valid, d2, PAD_DIST)
+    return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+
+def local_nsg_arena(
+    data_c: np.ndarray,
+    sizes: np.ndarray,
+    cfg,
+    metric: str,
+    block_clusters: int | None = None,
+    verbose: bool = False,
+):
+    """Per-cluster NSG locals built BATCHED (nndescent_nsg.cpp:62-125, the
+    reference's stage-2 per-cluster loop, as dense block dispatches).
+
+    The per-cluster sequential loop (kNN graph + beam collect + prune per
+    cluster) is replaced by: (1) exact top-C candidate pools for every
+    member of a block of clusters from one slab GEMM (`_cluster_exact_pools`
+    — no kNN graph or beam needed: the pool the reference's get_neighbors
+    beam approximates is exact here); (2) one global occlusion prune over
+    the flat arena; (3) the shared bulk-synchronous InterInsert; (4)
+    multi-seed connectivity repair (every cluster's medoid seeds the BFS,
+    unreachable components attach within their own cluster).
+
+    Returns (flat_adj [C*maxc, R] device, eps_flat [C] int64).
+    """
+    from .nsg import _interinsert
+    from .prune import occlusion_prune
+
+    c, maxc, d = data_c.shape
+    r_deg = cfg.R
+    pool_w = min(cfg.C, maxc)
+    if block_clusters is None:
+        # bound the [B, M, M] pair block at ~512 MB
+        block_clusters = max(1, (1 << 27) // (maxc * maxc))
+    sizes_j = jnp.asarray(sizes, jnp.int32)
+    flat_data = jnp.asarray(data_c.reshape(c * maxc, d))
+    flat_norms = squared_norms(flat_data)
+
+    adj_np = np.full((c * maxc, r_deg), PAD_ID, np.int32)
+    dists_np = np.full((c * maxc, r_deg), np.float32(3.4e37), np.float32)
+    eps_flat = np.zeros(c, np.int64)
+
+    prune_bs = max(1, (1 << 22) // (pool_w * 4))  # node rows per prune call
+    for s in range(0, c, block_clusters):
+        e = min(s + block_clusters, c)
+        slab = jnp.asarray(data_c[s:e])
+        base = (jnp.arange(s, e, dtype=jnp.int32)) * maxc
+        med = _cluster_medoids(slab, sizes_j[s:e])
+        eps_flat[s:e] = np.asarray(med, np.int64) + (
+            np.arange(s, e, dtype=np.int64) * maxc
+        )
+        pool_ids, pool_d = _cluster_exact_pools(
+            slab, sizes_j[s:e], base, pool_w=pool_w, metric=metric
+        )
+        bm = (e - s) * maxc
+        pool_ids = pool_ids.reshape(bm, pool_w)
+        pool_d = pool_d.reshape(bm, pool_w)
+        node_ids = (
+            base[:, None]
+            + jax.lax.broadcasted_iota(jnp.int32, (e - s, maxc), 1)
+        ).reshape(bm)
+        for ps in range(0, bm, prune_bs):
+            pe = min(ps + prune_bs, bm)
+            kept_i, kept_d = occlusion_prune(
+                jnp.take(flat_data, node_ids[ps:pe], axis=0),
+                pool_ids[ps:pe], pool_d[ps:pe],
+                flat_data, flat_norms,
+                max_keep=r_deg, scan_cap=pool_w, metric=metric,
+                self_ids=node_ids[ps:pe],
+            )
+            rs = s * maxc + ps
+            adj_np[rs : rs + (pe - ps)] = np.asarray(kept_i)
+            dists_np[rs : rs + (pe - ps)] = np.asarray(kept_d)
+        if verbose:
+            print(f"local NSG: clusters {e}/{c} pooled+pruned")
+
+    # nodes in dead pad slots must stay edge-free
+    slot_of = np.arange(c * maxc) % maxc
+    dead_rows = slot_of >= np.repeat(sizes[:c], maxc)
+    adj_np[dead_rows] = PAD_ID
+    dists_np[dead_rows] = np.float32(3.4e37)
+
+    adj_np, _ = _interinsert(
+        flat_data, flat_norms, adj_np, dists_np, cfg, metric, 4096
+    )
+    adj_np[dead_rows] = PAD_ID
+
+    # multi-seed connectivity repair (tree_grow per cluster): one global
+    # BFS from every medoid; stragglers attach to the nearest reachable
+    # member of their own cluster (findroot, index_nsg.cpp:712-747 — the
+    # in-cluster search is exact here)
+    visited = np.zeros(c * maxc, bool)
+    visited[dead_rows] = True
+    frontier = eps_flat[sizes[:c] > 0]
+    visited[frontier] = True
+    while len(frontier):
+        nxt = adj_np[frontier].reshape(-1)
+        nxt = nxt[nxt >= 0]
+        nxt = np.unique(nxt)
+        nxt = nxt[~visited[nxt]]
+        visited[nxt] = True
+        frontier = nxt
+    bad_clusters = np.unique(np.nonzero(~visited)[0] // maxc)
+    for ci in bad_clusters:
+        rows = slice(ci * maxc, ci * maxc + int(sizes[ci]))
+        xc = data_c[ci, : int(sizes[ci])]
+        vis_c = visited[rows]
+        while not vis_c.all():
+            u = int(np.nonzero(~vis_c)[0][0])
+            reach = np.nonzero(vis_c)[0]
+            dd = ((xc[reach] - xc[u]) ** 2).sum(axis=1)
+            a = int(reach[np.argmin(dd)]) + ci * maxc
+            deg = int((adj_np[a] >= 0).sum())
+            adj_np[a, deg if deg < r_deg else r_deg - 1] = u + ci * maxc
+            # BFS from u within the cluster
+            fr = np.array([u + ci * maxc])
+            vis_c[u] = True
+            visited[u + ci * maxc] = True
+            while len(fr):
+                nxt = adj_np[fr].reshape(-1)
+                nxt = nxt[nxt >= 0]
+                nxt = np.unique(nxt)
+                nxt = nxt[~visited[nxt]]
+                visited[nxt] = True
+                vis_c[nxt - ci * maxc] = True
+                fr = nxt
+    return jnp.asarray(adj_np), eps_flat
+
+
 def local_hnsw_arena(
     data_c: np.ndarray,
     sizes: np.ndarray,
@@ -1162,33 +1341,9 @@ def build_cnns(
             data_c, sizes, metric, verbose=verbose
         )
     elif local_index == "nsg":
-        r_deg = cfg.nsg.R
-        flat_adj_np = np.full((c * maxc, r_deg), PAD_ID, np.int32)
-        eps_flat = np.zeros(c, np.int64)
-        for ci in range(c):
-            sz = int(sizes[ci])
-            if sz <= 1:
-                eps_flat[ci] = ci * maxc
-                continue
-            xc = data_c[ci, :sz]
-            kk = min(cfg.nndescent.K, sz - 1)
-            if sz <= 4096:
-                knn = knn_graph_exact(jnp.asarray(xc), kk, query_block=4096)
-            else:
-                knn = knn_graph_rp(xc, kk, metric=metric, seed=seed + ci)
-            nsg = build_nsg(
-                xc, knn, cfg.nsg, metric=metric, seed=seed + ci,
-                pad_to_bucket=True,
-            )
-            adj_local = np.asarray(nsg.adj)
-            remap = np.where(adj_local >= 0, adj_local + ci * maxc, PAD_ID)
-            flat_adj_np[ci * maxc : ci * maxc + sz, : adj_local.shape[1]] = (
-                remap
-            )
-            eps_flat[ci] = nsg.ep + ci * maxc
-            if verbose:
-                print(f"cluster {ci + 1}/{c}: NSG built over {sz} points")
-        flat_adj = jnp.asarray(flat_adj_np)
+        flat_adj, eps_flat = local_nsg_arena(
+            data_c, sizes, cfg.nsg, metric, verbose=verbose
+        )
 
     n_real = c
     n_real_pre = c
