@@ -262,6 +262,111 @@ def beam_search_chunked(
     return BeamResult(f_d, f_i, f_h, f_e)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("expand", "n_hops", "metric", "use_kernel"),
+)
+def _scan_hops_collect(queries, data, norms, adj, r_d, r_i, r_e,
+                       p_d, p_i, sel_ids, sel_valid, hops, evals,
+                       expand: int, n_hops: int, metric: str,
+                       use_kernel: bool):
+    """_scan_hops_adj that additionally folds every evaluated candidate
+    into a sorted top-`collect` pool (beam_search_collect's fullset).
+    The pool fold reuses the fused merge kernel with a throwaway
+    selection (pool expansion flags are meaningless and reset to False
+    every hop, as in the while_loop variant)."""
+    qn = queries.shape[0]
+    p_e0 = jnp.zeros(p_d.shape, jnp.bool_)
+
+    def merge_select(r_d, r_i, r_e, cd, ci):
+        if use_kernel:
+            from ..ops.merge_select import fused_merge_select
+            return fused_merge_select(r_d, r_i, r_e, cd, ci, expand)
+        r_d, r_i, r_e = merge_into_retset(r_d, r_i, r_e, cd, ci)
+        sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+        return r_d, r_i, r_e, sel_ids, sel_valid
+
+    def merge_pool(p_d, p_i, cd, ci):
+        if use_kernel:
+            from ..ops.merge_select import fused_merge_select
+            p_d, p_i, _, _, _ = fused_merge_select(
+                p_d, p_i, p_e0, cd, ci, 1
+            )
+            return p_d, p_i
+        p_d, p_i, _ = merge_into_retset(p_d, p_i, p_e0, cd, ci)
+        return p_d, p_i
+
+    def body(carry, _):
+        r_d, r_i, r_e, p_d, p_i, sel_ids, sel_valid, hops, evals = carry
+        nbrs = jnp.take(adj, jnp.where(sel_ids >= 0, sel_ids, 0), axis=0)
+        nbrs = jnp.where(sel_valid[:, :, None], nbrs, PAD_ID)
+        nbrs = nbrs.reshape(qn, -1)
+        cd = gathered_dists(queries, data, nbrs, metric, norms)
+        hops = hops + jnp.sum(sel_valid, axis=1).astype(jnp.int32)
+        evals = evals + jnp.sum(nbrs >= 0, axis=1).astype(jnp.int32)
+        p_d, p_i = merge_pool(p_d, p_i, cd, nbrs)
+        r_d, r_i, r_e, sel_ids, sel_valid = merge_select(
+            r_d, r_i, r_e, cd, nbrs
+        )
+        return (r_d, r_i, r_e, p_d, p_i, sel_ids, sel_valid,
+                hops, evals), None
+
+    carry, _ = jax.lax.scan(
+        body,
+        (r_d, r_i, r_e, p_d, p_i, sel_ids, sel_valid, hops, evals),
+        None, length=n_hops,
+    )
+    return carry
+
+
+def beam_search_collect_chunked(
+    queries: jax.Array,
+    data: jax.Array,
+    norms: jax.Array,
+    adj: jax.Array,
+    init_ids: jax.Array,
+    width: int,
+    collect: int,
+    metric: str = "l2",
+    max_hops: int = 512,
+    expand: int = 1,
+    chunk_hops: int = 32,
+    use_kernel: bool | None = None,
+):
+    """``beam_search_collect`` semantics, host-chunked with the fused
+    merge kernel (see beam_search_chunked). No query compaction: the
+    pool arrays are large and the collect path is build-time only.
+
+    Returns (BeamResult, pool_ids [Q, collect], pool_dists [Q, collect]).
+    """
+    q = jnp.asarray(queries)
+    qn = q.shape[0]
+    init_d = gathered_dists(q, data, init_ids, metric, norms)
+    r_d, r_i, r_e = init_retset(init_d, init_ids, width)
+    p_d, p_i, _ = init_retset(init_d, init_ids, collect)
+    hops = jnp.zeros((qn,), jnp.int32)
+    evals = jnp.sum(init_ids >= 0, axis=1).astype(jnp.int32)
+    if use_kernel is None:
+        from ..ops.merge_select import default_use_kernel
+        use_kernel = default_use_kernel()
+
+    sel_ids, sel_valid, r_e = _select_frontier(r_i, r_e, expand)
+    hops_left = max_hops
+    while hops_left > 0:
+        n_hops = min(chunk_hops, hops_left)
+        (r_d, r_i, r_e, p_d, p_i, sel_ids, sel_valid, hops,
+         evals) = _scan_hops_collect(
+            q, data, norms, adj, r_d, r_i, r_e, p_d, p_i,
+            sel_ids, sel_valid, hops, evals,
+            expand=expand, n_hops=n_hops, metric=metric,
+            use_kernel=use_kernel,
+        )
+        hops_left -= n_hops
+        if not bool(np.asarray(jnp.any(sel_valid))):
+            break
+    return BeamResult(r_d, r_i, hops, evals), p_i, p_d
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "max_hops"))
 def greedy_descent(
     queries: jax.Array,

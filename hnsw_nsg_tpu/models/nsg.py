@@ -39,7 +39,7 @@ from ..ops.distance import PAD_DIST, PAD_ID, gathered_dists, squared_norms
 from ..ops.bruteforce import brute_force_topk
 from ..utils import io as io_utils
 from ..utils.params import NSGBuildConfig
-from .beam import beam_search_chunked, beam_search_collect
+from .beam import beam_search_chunked, beam_search_collect_chunked
 from .prune import occlusion_prune, occlusion_prune_padded
 
 
@@ -218,7 +218,7 @@ def _collect_and_prune_block(
     """Stages 2+3 for one node block: candidate pool by graph search from
     the medoid, union with the node's kNN row, occlusion prune."""
     vecs = jnp.take(data, node_ids, axis=0)
-    _, log_ids, log_d = beam_search_collect(
+    _, log_ids, log_d = beam_search_collect_chunked(
         vecs, data, norms, knn_adj, init_ids,
         width=cfg.L, collect=cfg.C, metric=metric,
     )
