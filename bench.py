@@ -138,7 +138,7 @@ def main():
     metric = cfg["metric"]
     nq = int(os.environ.get("BENCH_Q", 8192))
     engine = os.environ.get("BENCH_ENGINE", "cnns_flat")
-    if engine not in ("cnns_flat", "cnns_nsg", "hnsw", "brute"):
+    if engine not in ("cnns_flat", "cnns_nsg", "hnsw", "hybrid", "brute"):
         raise SystemExit(f"unknown BENCH_ENGINE {engine!r}")
     n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 1024, 8)))
 
@@ -250,6 +250,48 @@ def main():
             qps = nq / sorted(ts)[len(ts) // 2]
             log(f"hnsw ef={ef}: recall@10={r:.4f} qps={qps:.0f}")
             best = (f"ef={ef}", r, qps)
+            if r >= TARGET_RECALL:
+                break
+
+    elif engine == "hybrid":
+        # HNSW_NSG hybrid (hnsw_nsg/include/index_hnsw_nsg.h) at the
+        # reference driver's configuration: M=16 efC=40, NSG R=20
+        # (hnsw_nsg/tests/test_hnsw_nsg_search.cpp:331-347)
+        from hnsw_nsg_tpu.models.hybrid import HybridHNSWNSG
+        from hnsw_nsg_tpu.utils.params import HNSWConfig, NSGBuildConfig
+
+        del xd
+        t0 = time.time()
+        idx = HybridHNSWNSG(
+            d, n, HNSWConfig(M=16, ef_construction=40),
+            NSGBuildConfig(L=40, R=20, C=500), metric,
+        )
+        idx.add_points(x, batch_size=4096)
+        t1 = time.time()
+        log(f"hybrid hnsw insert: {t1 - t0:.0f}s")
+        idx.build_nsg_layer()
+        idx.build_accel()
+        build_s = time.time() - t0
+        log(f"hybrid build total: {build_s:.0f}s "
+            f"(nsg layer {time.time() - t1:.0f}s)")
+        h = idx.hnsw
+        index_bytes = (
+            sum(a.size * 4 for a in h.adj_up)
+            + idx.nsg.adj.size * 4
+            + idx.nsg._records.nbytes()
+            + h.data.size * h.data.dtype.itemsize
+        )
+        for L in (64, 96, 128, 192, 256):
+            labels, _ = idx.search_knn(queries_dev, k=K, l_search=L)
+            r = recall(labels, gt)
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                labels, _ = idx.search_knn(queries_dev, k=K, l_search=L)
+                ts.append(time.time() - t0)
+            qps = nq / sorted(ts)[len(ts) // 2]
+            log(f"hybrid L={L}: recall@10={r:.4f} qps={qps:.0f}")
+            best = (f"L={L}", r, qps)
             if r >= TARGET_RECALL:
                 break
 

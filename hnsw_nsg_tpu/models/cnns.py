@@ -303,6 +303,7 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         # shape, formerly the dominant cost of the whole search)
         from ..ops.pallas_scan import (
             grouped_cluster_topk, grouped_cluster_topk_gq,
+            grouped_cluster_topk_gq_dblk,
         )
 
         if metric in ("ip", "cosine"):
@@ -316,32 +317,47 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         # The gq kernel keeps the WHOLE query set VMEM-resident across
         # the grid (that is what makes its one-hot gather free) — at
         # large d it no longer fits the 16 MB scoped-VMEM stack
-        # (qn*d bf16 alone is 15.7 MB at 8192x960). Fall back to the
-        # pre-gathered-query kernel: same fused scan, query rows
-        # gathered by XLA instead (~0.75 us x C*cap rows — at the
-        # large-d shapes where this triggers, C*cap is small and the
-        # scan itself is slab-bandwidth-bound, so the gather is noise).
+        # (qn*d bf16 alone is 15.7 MB at 8192x960). In that regime the
+        # d-BLOCKED gq kernel takes over: the query set rides in
+        # [qn, dblk] chunks with a VMEM dots accumulator, so the one-hot
+        # MXU gather survives at any d (round 2's pre-gathered fallback
+        # paid ~0.75 us x C*cap jnp.take rows — ~70-190 ms at the GIST
+        # shape, the dominant cost of the whole scan). The pre-gathered
+        # kernel remains as the last resort when even the per-cluster
+        # accumulator footprint (cap*maxc f32) would not fit.
         gq_vmem = (
             qc.size * qc.dtype.itemsize
             + maxc * d * data_c.dtype.itemsize
             + 2 * cap * maxc * 4          # dist + masked-update temps
             + cap * qc.shape[0]           # one-hot sel tile
         )
+        interp = jax.default_backend() == "cpu"
         if gq_vmem <= _GQ_VMEM_BUDGET:
             td, li = grouped_cluster_topk_gq(
-                qc, qidx, data_c, bias, k, scale,
-                interpret=jax.default_backend() == "cpu",
+                qc, qidx, data_c, bias, k, scale, interpret=interp,
             )
         else:
-            qv = jnp.where(
-                (qidx >= 0)[:, :, None],
-                jnp.take(qc, jnp.where(qidx >= 0, qidx, 0), axis=0),
-                0,
-            )                                          # [C, cap, d]
-            td, li = grouped_cluster_topk(
-                qv, data_c, bias, k, scale,
-                interpret=jax.default_backend() == "cpu",
+            dblk = 256
+            dblk_vmem = (
+                qc.shape[0] * dblk * max(qc.dtype.itemsize, 2)
+                + maxc * dblk * data_c.dtype.itemsize
+                + 3 * cap * maxc * 4      # acc scratch + dist temps
+                + 2 * cap * qc.shape[0]   # one-hot sel tile (>=bf16)
             )
+            if dblk_vmem <= _GQ_VMEM_BUDGET:
+                td, li = grouped_cluster_topk_gq_dblk(
+                    qc, qidx, data_c, bias, k, scale, dblk=dblk,
+                    interpret=interp,
+                )
+            else:
+                qv = jnp.where(
+                    (qidx >= 0)[:, :, None],
+                    jnp.take(qc, jnp.where(qidx >= 0, qidx, 0), axis=0),
+                    0,
+                )                                      # [C, cap, d]
+                td, li = grouped_cluster_topk(
+                    qv, data_c, bias, k, scale, interpret=interp,
+                )
         live = (qidx >= 0)[:, :, None]
         gi = jnp.take_along_axis(ids_c[:, None, :], li, axis=2)
         gi = jnp.where(live & jnp.isfinite(td), gi, PAD_ID)

@@ -340,6 +340,136 @@ def grouped_cluster_topk_gq(
     return vals, idx
 
 
+def _scan_kernel_gq_dblk(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
+                         idx_ref, acc_ref, *, k: int, scale: float,
+                         nd: int):
+    """_scan_kernel_gq with the contraction dimension d blocked over the
+    inner grid axis.
+
+    At d >= ~512 the whole-query-set VMEM residency of the plain gq
+    kernel overflows the 16 MB scoped stack (8192 x 960 bf16 = 15.7 MB at
+    the GIST shape), which previously forced the pre-gathered-query
+    fallback — C*cap scattered jnp.take row gathers at the ~0.75 us/row
+    floor, ~190 ms/batch at GIST, the dominant cost of the whole scan
+    (PROGRESS.md round-3). Here the query set rides in [qn, dblk] chunks
+    (grid = (C, nd), d innermost): partial dots accumulate in a VMEM
+    scratch across the d steps and the top-k extraction fires on the last
+    one. The one-hot gather runs per chunk; its total MXU work is the
+    same 2*cap*qn*d as unblocked. qc chunk traffic is qn*dblk*itemsize
+    per grid step (~4 MB at GIST dblk=256) — HBM-bandwidth work instead
+    of descriptor-latency work, which is the whole trade."""
+    j = pl.program_id(1)
+    qidx = qidx_ref[0, 0]              # [cap] int32
+    qc = qc_ref[...]                   # [qn, dblk]
+    cap = qidx.shape[0]
+    qn = qc.shape[0]
+    sel = (qidx[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (cap, qn), 1))
+    if qc.dtype == jnp.int8:
+        q = jax.lax.dot_general(
+            sel.astype(jnp.int8), qc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.int8)
+    else:
+        q = jax.lax.dot_general(
+            sel.astype(qc.dtype), qc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(qc.dtype)             # [cap, dblk]
+    s = slab_ref[0]                    # [maxc, dblk]
+    dots = _dots(q, s)                 # [cap, maxc] f32
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = dots
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + dots
+
+    @pl.when(j == nd - 1)
+    def _():
+        dist = bias_ref[0] - jnp.float32(scale) * acc_ref[...]
+        cap_, maxc = dist.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (cap_, maxc), 1)
+        for jj in range(k):
+            m = jnp.min(dist, axis=1)
+            am = jnp.argmin(dist, axis=1).astype(jnp.int32)
+            vals_ref[0, :, jj] = m
+            idx_ref[0, :, jj] = am
+            if jj + 1 < k:
+                dist = jnp.where(
+                    col == am[:, None], jnp.float32(jnp.inf), dist
+                )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "scale", "dblk", "interpret")
+)
+def grouped_cluster_topk_gq_dblk(
+    qc: jax.Array,      # [qn, d] all queries (slab or query dtype)
+    qidx: jax.Array,    # [C, cap] int32 query ids per cluster slot (-1 pad)
+    slabs: jax.Array,   # [C, maxc, d]
+    bias: jax.Array,    # [C, maxc] f32: l2 norms / ip 1.0, +inf on pads
+    k: int,
+    scale: float,
+    dblk: int = 256,
+    interpret: bool = False,
+):
+    """grouped_cluster_topk_gq for large d: the contraction dimension is
+    grid-blocked so the VMEM working set stays bounded regardless of d
+    (see _scan_kernel_gq_dblk). d is zero-padded up to a multiple of
+    ``dblk`` (zeros contribute nothing to the dots)."""
+    c, cap = qidx.shape
+    qn, d = qc.shape
+    maxc = slabs.shape[1]
+    nd = -(-d // dblk)
+    dpad = nd * dblk
+    if dpad != d:
+        qc = jnp.pad(qc, ((0, 0), (0, dpad - d)))
+        slabs = jnp.pad(slabs, ((0, 0), (0, 0), (0, dpad - d)))
+    kern = functools.partial(
+        _scan_kernel_gq_dblk, k=k, scale=scale, nd=nd
+    )
+    vals, idx = pl.pallas_call(
+        kern,
+        grid=(c, nd),
+        in_specs=[
+            pl.BlockSpec((1, 1, cap), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, dblk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, maxc, dblk), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, maxc), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, cap, k), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cap, k), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((c, cap, k), jnp.float32),
+            jax.ShapeDtypeStruct((c, cap, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((cap, maxc), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c * cap * dpad * (maxc + qn),
+            bytes_accessed=(
+                slabs.size * slabs.dtype.itemsize
+                + c * qn * dblk * qc.dtype.itemsize
+                + c * maxc * 4 + 2 * c * cap * k * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qidx[:, None, :], qc, slabs, bias[:, None, :])
+    return vals, idx
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "scale", "interpret")
 )

@@ -101,6 +101,38 @@ def test_gq_kernel_matches_take_path():
                                   np.asarray(i_tk)[live])
 
 
+def test_gq_dblk_kernel_matches_gq():
+    """d-blocked gq kernel (large-d path) == plain gq kernel, including
+    d not a multiple of the block (zero-padded contraction)."""
+    from hnsw_nsg_tpu.ops.pallas_scan import (
+        grouped_cluster_topk_gq, grouped_cluster_topk_gq_dblk,
+    )
+    rng = np.random.default_rng(5)
+    c, cap, maxc, d, k, qn = 4, 16, 64, 40, 8, 48
+    qc = jnp.asarray(rng.standard_normal((qn, d)).astype(np.float32))
+    qidx = np.full((c, cap), -1, np.int32)
+    for ci in range(c):
+        cnt = rng.integers(1, cap + 1)
+        qidx[ci, :cnt] = rng.choice(qn, cnt, replace=False)
+    qidx = jnp.asarray(qidx)
+    slabs = jnp.asarray(
+        rng.standard_normal((c, maxc, d)).astype(np.float32)
+    )
+    norms = (np.asarray(slabs) ** 2).sum(-1)
+    bias = jnp.asarray(norms.astype(np.float32))
+    v_gq, i_gq = grouped_cluster_topk_gq(qc, qidx, slabs, bias, k, 2.0,
+                                         interpret=True)
+    v_db, i_db = grouped_cluster_topk_gq_dblk(
+        qc, qidx, slabs, bias, k, 2.0, dblk=16, interpret=True,
+    )
+    live = np.asarray(qidx) >= 0
+    np.testing.assert_allclose(np.asarray(v_db)[live],
+                               np.asarray(v_gq)[live], rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_db)[live],
+                                  np.asarray(i_gq)[live])
+
+
 def test_large_d_vmem_fallback(monkeypatch):
     """At large d the gq kernel's VMEM-resident query block exceeds the
     scoped stack (measured: 8192x960 bf16 = 15.7 MB > 16 MB limit at the
