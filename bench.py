@@ -57,12 +57,18 @@ DATA_VERSION = 2
 # dims/metric/N match BASELINE.md's named benchmarks)
 CONFIGS = {
     "sift1m": dict(n=1_000_000, d=128, metric="l2"),
-    "gist1m": dict(n=1_000_000, d=960, metric="l2"),
+    # gist1m defaults to SQ8 int8 slabs: at d=960 the scan is slab-
+    # bandwidth-bound and a bf16/f32 pack does not fit HBM next to the
+    # resident dataset (round-2 session 3)
+    "gist1m": dict(n=1_000_000, d=960, metric="l2", slab="int8"),
     "glove": dict(n=1_183_514, d=100, metric="ip"),
     "deep10m": dict(n=10_000_000, d=96, metric="l2"),
     # sift_1b.cpp:243-344 uint8 configuration at the single-chip HBM
     # scale: uint8 vectors stored as int8 slabs (exact integer MXU math)
     "sift10m_u8": dict(n=10_000_000, d=128, metric="l2", uint8=True),
+    # double the sift_1b.cpp 10M subset: the memory-pressure (cnns_spill)
+    # shape — its int8 index exceeds the stated HBM budget by >2x
+    "sift20m_u8": dict(n=20_000_000, d=128, metric="l2", uint8=True),
     # adversarial no-structure config: one isotropic Gaussian blob, the
     # worst case for IVF routing (every cluster boundary is artificial and
     # true neighbors straddle them) — bounds the clustered-synthetic
@@ -138,7 +144,8 @@ def main():
     metric = cfg["metric"]
     nq = int(os.environ.get("BENCH_Q", 8192))
     engine = os.environ.get("BENCH_ENGINE", "cnns_flat")
-    if engine not in ("cnns_flat", "cnns_nsg", "hnsw", "hybrid", "brute"):
+    if engine not in ("cnns_flat", "cnns_nsg", "cnns_spill", "hnsw",
+                      "hybrid", "brute"):
         raise SystemExit(f"unknown BENCH_ENGINE {engine!r}")
     n_clusters = int(os.environ.get("BENCH_CLUSTERS", max(n // 1024, 8)))
 
@@ -278,7 +285,7 @@ def main():
         index_bytes = (
             sum(a.size * 4 for a in h.adj_up)
             + idx.nsg.adj.size * 4
-            + idx.nsg._records.nbytes()
+            + idx.nsg.records.nbytes()
             + h.data.size * h.data.dtype.itemsize
         )
         for L in (64, 96, 128, 192, 256):
@@ -295,6 +302,81 @@ def main():
             if r >= TARGET_RECALL:
                 break
 
+    elif engine == "cnns_spill":
+        # The reference's memory-pressure experiment
+        # (CNNS/script/test_with_cgroup.sh + the pipeline driver's
+        # load->search->merge, cluster_hnsw_nsg_search_pipeline.cpp:364-416):
+        # the memory limit is set BELOW the index working set, forcing
+        # cluster loads during the query. TPU analogue: slabs live in host
+        # RAM, HBM holds only the router + one slab group at a time
+        # (models/spill.py). BENCH_HBM_BUDGET_GB states the budget.
+        import dataclasses
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.models.spill import SpillCNNSIndex
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        del xd
+        budget = float(os.environ.get("BENCH_HBM_BUDGET_GB", "1.5"))
+        t0 = time.time()
+        slab = os.environ.get(
+            "BENCH_SLAB", "int8" if cfg.get("uint8") else "bf16"
+        )
+        idx = build_cnns(
+            x,
+            CNNSConfig(n_clusters=n_clusters, m=4, kmeans_iters=12,
+                       replicate=True),
+            metric=metric,
+            local_index="flat",
+            slab_dtype=jnp.int8 if slab == "int8" else None,
+        )
+        if slab == "bf16":
+            idx = dataclasses.replace(
+                idx, data_c=idx.data_c.astype(jnp.bfloat16))
+        build_s = time.time() - t0
+        log(f"build (cnns_flat for spill, {n_clusters} clusters, "
+            f"maxc={idx.maxc}): {build_s:.1f}s")
+        index_bytes = (
+            idx.data_c.size * idx.data_c.dtype.itemsize
+            + idx.reps.size * 4 + idx.ids_c.size * 4
+            + (idx.cnorms_c.size * 4 if idx.cnorms_c is not None else 0)
+        )
+        sp = SpillCNNSIndex(idx, int(budget * 1e9))
+        # evict the resident slab copies: only the router may stay in HBM
+        for arr in (idx.data_c, idx.ids_c, idx.cnorms_c):
+            if arr is not None:
+                arr.delete()
+        del idx
+        log(f"spill: index {index_bytes / 1e9:.2f} GB, HBM budget "
+            f"{budget:.2f} GB, group_size={sp.group_size} slabs "
+            f"({sp.group_size * sp.slab_bytes / 1e9:.2f} GB/group)")
+        for nprobe in (2, 4, 8):
+            sp.stats = type(sp.stats)()
+            t0 = time.time()
+            dd, ii = sp.search(queries_dev, k=K, nprobe=nprobe)
+            ii = np.asarray(ii)
+            dt = time.time() - t0
+            r = recall(ii, gt)
+            qps = nq / dt
+            st = sp.stats
+            # the tunnel moves host->device at ~6-9 MB/s (PROGRESS.md
+            # tunnel physics); a serving deployment's PCIe moves the same
+            # groups at >= 10 GB/s, so also report the projected QPS with
+            # transfers at PCIe speed (device scan time measured here)
+            xfer_s = st.bytes_transferred / 7e6
+            pcie_s = max(dt - xfer_s, 0.0) + st.bytes_transferred / 10e9
+            log(f"spill nprobe={nprobe}: recall@10={r:.4f} qps={qps:.1f} "
+                f"rounds={st.transfer_rounds} "
+                f"moved={st.bytes_transferred / 1e9:.2f}GB "
+                f"peak_group={st.peak_group_bytes / 1e9:.2f}GB "
+                f"projected_pcie_qps={nq / pcie_s:.0f}")
+            best = (
+                f"nprobe={nprobe} budget={budget}GB "
+                f"rounds={st.transfer_rounds} "
+                f"moved_gb={st.bytes_transferred / 1e9:.2f}", r, qps,
+            )
+            if r >= TARGET_RECALL:
+                break
+
     else:
         import dataclasses
         from hnsw_nsg_tpu.models.cnns import build_cnns
@@ -303,10 +385,16 @@ def main():
         del xd
         t0 = time.time()
         local = "nsg" if engine == "cnns_nsg" else "flat"
-        slab = os.environ.get(
-            "BENCH_SLAB", "int8" if cfg.get("uint8") else "bf16"
-        )
+        slab = os.environ.get("BENCH_SLAB", cfg.get(
+            "slab", "int8" if cfg.get("uint8") else "bf16"
+        ))
         build_dtype = jnp.int8 if slab == "int8" else None
+        if engine == "cnns_flat" and slab == "bf16":
+            # pack bf16 directly on device: a post-build f32->bf16 cast
+            # would materialize the f32 slab tensor first, which OOMs HBM
+            # at large d (8.5 GB at the GIST shape, on top of the 3.8 GB
+            # resident dataset)
+            build_dtype = jnp.bfloat16
         # boundary replication into the dead pad slots: recall-per-probe
         # rises at zero extra scan cost/memory (flat local only)
         replicate = local == "flat" and os.environ.get(
@@ -320,11 +408,6 @@ def main():
             local_index=local,
             slab_dtype=build_dtype,
         )
-        if engine == "cnns_flat" and slab == "bf16":
-            idx = dataclasses.replace(
-                idx, data_c=idx.data_c.astype(jnp.bfloat16),
-                cnorms_c=idx.cnorms_c,
-            )
         build_s = time.time() - t0
         log(f"build ({engine}, {n_clusters} clusters, maxc={idx.maxc}): "
             f"{build_s:.1f}s")

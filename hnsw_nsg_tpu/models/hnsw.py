@@ -106,6 +106,17 @@ class HNSWIndex:
         self.norms = jnp.zeros((self.cap,), jnp.float32)
         self.levels = np.zeros((self.cap,), np.int32)
         self.adj0 = jnp.full((self.cap, 2 * cfg.M), PAD_ID, jnp.int32)
+        # cached exact metric distance of every level-0 link:
+        # adj0_d[i, j] = d(data[i], data[adj0[i, j]]) (PAD_DIST on pads).
+        # Reverse-edge insertion needs the receiving node's existing link
+        # distances every batch; recomputing them is a [dsts, 2M] row
+        # gather at the ~0.75us/row floor (the single largest insert
+        # cost at 1M). Maintained by every adjacency write; None after
+        # file loads (whose graphs never grew through this path) — the
+        # gather fallback then applies.
+        self.adj0_d: jax.Array | None = jnp.full(
+            (self.cap, 2 * cfg.M), PAD_DIST, jnp.float32
+        )
         self.adj_up: list[jax.Array] = []  # level l adjacency at index l-1
 
         self.deleted = np.zeros((self.cap,), bool)
@@ -234,6 +245,7 @@ class HNSWIndex:
         visited = bfs([self.ep], np.zeros(self.n, bool))
         added = 0
         touched_l = []
+        edge_triples = []  # (attach, slot, root) for the dist cache
         for _ in range(max_rounds):
             if visited.all():
                 break
@@ -257,9 +269,20 @@ class HNSWIndex:
                 slot = deg if deg < cap0 else cap0 - 1
                 adj0[attach, slot] = root
                 touched_l.append(attach)
+                edge_triples.append((attach, slot, root))
                 added += 1
                 visited = bfs([root], visited)
         self.adj0 = self.adj0.at[: self.n].set(jnp.asarray(adj0))
+        if edge_triples and self.adj0_d is not None:
+            at, sl, rt = (np.asarray(v, np.int32)
+                          for v in zip(*edge_triples))
+            dd = gathered_dists(
+                jnp.take(self.data, jnp.asarray(at), axis=0),
+                self.data, jnp.asarray(rt)[:, None], self.metric,
+                self.norms, exact=True,
+            )[:, 0]
+            self.adj0_d = self.adj0_d.at[(jnp.asarray(at),
+                                          jnp.asarray(sl))].set(dd)
         if added and self._maintain_records and self._records is not None:
             self._refresh_record_rows(np.asarray(touched_l, np.int64).astype(np.int32))
         return added
@@ -305,6 +328,24 @@ class HNSWIndex:
 
     def _insert_batch(self, x: np.ndarray, labels: np.ndarray,
                       pad_to: int | None = None) -> None:
+        # HNSW_PROFILE=1: per-phase wall clock (device-synchronized) on
+        # stderr — insert-throughput tuning aid, zero cost when unset
+        import os as _os
+        _prof = bool(_os.environ.get("HNSW_PROFILE"))
+        if _prof:
+            import sys as _sys
+            import time as _time
+            _marks = [("start", _time.time())]
+
+            def _mark(name, *arrs):
+                jax.block_until_ready(
+                    [a for a in arrs if a is not None] or self.adj0
+                )
+                jax.block_until_ready(self.adj0)
+                _marks.append((name, _time.time()))
+        else:
+            def _mark(name, *arrs):
+                pass
         if not self._maintain_records:
             self._records = None
         elif self._records is None:
@@ -394,6 +435,7 @@ class HNSWIndex:
                 cur = res.ids[:, 0]
         else:
             pools = {}
+        _mark("beams", *(p[0] for p in pools.values()))
 
         # ---- phase 2: intra-batch candidates (one [B, B] GEMM)
         if b > 1:
@@ -409,6 +451,7 @@ class HNSWIndex:
             bb_peer_levels = jnp.asarray(new_levels)[bb_j]
         else:
             bb_d = bb_ids = bb_peer_levels = None
+        _mark("intra_batch", bb_d)
 
         # ---- phase 3: per level, prune + link + reverse insert.
         # Row sets are padded to power-of-two buckets: their lengths differ
@@ -458,16 +501,24 @@ class HNSWIndex:
             write_rows = jnp.where(live, jnp.take(ids, rows_j), self.cap)
             adj_l = adj_l.at[write_rows].set(rowbuf, mode="drop")
             self._set_adj(lvl, adj_l)
+            if lvl == 0 and self.adj0_d is not None:
+                dbuf = jnp.full((bucket, w), PAD_DIST, jnp.float32)
+                dbuf = dbuf.at[:, : cfg.M].set(kept_d)
+                self.adj0_d = self.adj0_d.at[write_rows].set(
+                    dbuf, mode="drop"
+                )
             new_edges.append(
                 (lvl, np.where(rows_pad >= 0, ids_np[0] + rows_pad, -1),
                  kept_i, kept_d)
             )
 
+        _mark("prune_link")
         dirty = [ids_np[:b_real]]
         for lvl, src_ids, kept_i, kept_d in new_edges:
             dsts = self._reverse_insert(lvl, src_ids, kept_i, kept_d)
             if lvl == 0 and dsts is not None:
                 dirty.append(dsts)
+        _mark("reverse_insert")
 
         # ---- phase 4: enterpoint/bookkeeping
         if batch_max_level > self.max_level:
@@ -480,6 +531,16 @@ class HNSWIndex:
             self._refresh_record_rows(
                 np.concatenate(dirty).astype(np.int32)
             )
+        if _prof:
+            _mark("records_refresh",
+                  self._records.rows if self._records is not None else None)
+            parts = " ".join(
+                f"{name}={t1 - t0:.3f}s" for (_, t0), (name, t1)
+                in zip(_marks, _marks[1:])
+            )
+            total = _marks[-1][1] - _marks[0][1]
+            print(f"[insert_batch b={b_real} n={self.n}] total={total:.3f}s "
+                  f"{parts}", file=_sys.stderr, flush=True)
 
     def _reverse_insert(
         self, lvl: int, src: np.ndarray, kept_i, kept_d,
@@ -528,10 +589,18 @@ class HNSWIndex:
         live = jnp.asarray(rows_np >= 0)
 
         exist = jnp.take(adj_l, rows_j, axis=0)[:, :cap_deg]
-        vecs = jnp.take(self.data, rows_j, axis=0)
-        exist_d = gathered_dists(
-            vecs, self.data, exist, self.metric, self.norms, exact=True
-        )
+        use_cache = lvl == 0 and self.adj0_d is not None
+        if use_cache:
+            # existing-link distances come from the maintained cache: one
+            # [dsts, 2M] f32 take instead of a [dsts * 2M] vector-row
+            # gather at the ~0.75us/row floor
+            exist_d = jnp.take(self.adj0_d, rows_j, axis=0)[:, :cap_deg]
+        else:
+            vecs_all = jnp.take(self.data, rows_j, axis=0)
+            exist_d = gathered_dists(
+                vecs_all, self.data, exist, self.metric, self.norms,
+                exact=True,
+            )
         pool_i = jnp.concatenate(
             [exist, jnp.take(inc, rows_j, axis=0)], axis=1
         )
@@ -554,11 +623,35 @@ class HNSWIndex:
             axis=1,
         )
         overflow = jnp.sum(distinct, axis=1) > cap_deg
-        kept2_i, _ = occlusion_prune_padded(
-            vecs, pool_i, pool_d, self.data, self.norms,
-            max_keep=cap_deg, metric=self.metric, self_ids=rows_j,
-        )
-        new_rows = jnp.where(overflow[:, None], kept2_i, mi)
+        # the occlusion re-prune (shrink path) runs ONLY on the rows that
+        # actually overflow: its pool-vector gather ([rows, 2*cap_deg]
+        # data rows) is the dominant insert cost, and room-path rows
+        # (merge-append, the majority until the graph saturates) never
+        # consume its result
+        ov_np = np.nonzero(np.asarray(overflow) & (rows_np >= 0))[0]
+        new_rows, new_d = mi, md
+        if len(ov_np):
+            ovb = 256
+            while ovb < len(ov_np):
+                ovb *= 2
+            ovb = min(ovb, bucket)
+            ov_pad = np.zeros(ovb, np.int64)
+            ov_pad[: len(ov_np)] = ov_np
+            ov_live = np.zeros(ovb, bool)
+            ov_live[: len(ov_np)] = True
+            ov_j = jnp.asarray(ov_pad)
+            rows_ov = jnp.take(rows_j, ov_j)
+            kept2_i, kept2_d = occlusion_prune_padded(
+                jnp.take(self.data, rows_ov, axis=0),
+                jnp.where(jnp.asarray(ov_live)[:, None],
+                          jnp.take(pool_i, ov_j, axis=0), PAD_ID),
+                jnp.take(pool_d, ov_j, axis=0),
+                self.data, self.norms,
+                max_keep=cap_deg, metric=self.metric, self_ids=rows_ov,
+            )
+            sel = jnp.asarray(ov_pad[ov_live])
+            new_rows = new_rows.at[sel].set(kept2_i[: len(ov_np)])
+            new_d = new_d.at[sel].set(kept2_d[: len(ov_np)])
         w = adj_l.shape[1]
         if w > cap_deg:
             new_rows = jnp.concatenate(
@@ -569,6 +662,17 @@ class HNSWIndex:
         write_rows = jnp.where(live, rows_j, self.cap)
         adj_l = adj_l.at[write_rows].set(new_rows, mode="drop")
         self._set_adj(lvl, adj_l)
+        if use_cache:
+            if w > cap_deg:
+                new_d = jnp.concatenate(
+                    [new_d,
+                     jnp.full((bucket, w - cap_deg), PAD_DIST,
+                              jnp.float32)],
+                    axis=1,
+                )
+            self.adj0_d = self.adj0_d.at[write_rows].set(
+                new_d, mode="drop"
+            )
         return dsts
 
     # ------------------------------------------------------------------
@@ -779,6 +883,10 @@ class HNSWIndex:
         self._dataq = None
         self._maintain_records = False
         self._router = None
+        # in-links to `slot` may exist from nodes outside old_nbrs; their
+        # cached distances would go stale when the vector changes, so the
+        # cache is dropped (subsequent inserts use the gather fallback)
+        self.adj0_d = None
         cfg = self.cfg
         x = jnp.asarray(np.asarray(vec, np.float32)[None])
         # capture the old neighborhoods BEFORE the vector changes: these
@@ -819,6 +927,10 @@ class HNSWIndex:
             rowbuf = jnp.full((1, w), PAD_ID, jnp.int32)
             rowbuf = rowbuf.at[:, : cfg.M].set(kept_i)
             self._set_adj(lvl, adj_l.at[sid].set(rowbuf))
+            if lvl == 0 and self.adj0_d is not None:
+                dbuf = jnp.full((1, w), PAD_DIST, jnp.float32)
+                dbuf = dbuf.at[:, : cfg.M].set(kept_d)
+                self.adj0_d = self.adj0_d.at[sid].set(dbuf)
             self._reverse_insert(
                 lvl, np.array([slot], np.int32),
                 np.asarray(kept_i), np.asarray(kept_d),
@@ -861,7 +973,7 @@ class HNSWIndex:
         pool_d = gathered_dists(
             vecs, self.data, pool_i, self.metric, self.norms, exact=True
         )
-        kept_i, _ = occlusion_prune_padded(
+        kept_i, kept_d = occlusion_prune_padded(
             vecs, pool_i, pool_d, self.data, self.norms,
             max_keep=cap_deg, metric=self.metric, self_ids=rows_j,
         )
@@ -871,8 +983,17 @@ class HNSWIndex:
                 [kept_i, jnp.full((bucket, w - cap_deg), PAD_ID, jnp.int32)],
                 axis=1,
             )
+            kept_d = jnp.concatenate(
+                [kept_d,
+                 jnp.full((bucket, w - cap_deg), PAD_DIST, jnp.float32)],
+                axis=1,
+            )
         write_rows = jnp.where(live, rows_j, self.cap)
         self._set_adj(lvl, adj_l.at[write_rows].set(kept_i, mode="drop"))
+        if lvl == 0 and self.adj0_d is not None:
+            self.adj0_d = self.adj0_d.at[write_rows].set(
+                kept_d, mode="drop"
+            )
 
     def resize_index(self, new_cap: int) -> None:
         """resizeIndex (hnswalg.h:633-656)."""
@@ -900,6 +1021,13 @@ class HNSWIndex:
              jnp.full((grow, self.adj0.shape[1]), PAD_ID, jnp.int32)],
             axis=0,
         )
+        if self.adj0_d is not None:
+            self.adj0_d = jnp.concatenate(
+                [self.adj0_d,
+                 jnp.full((grow, self.adj0_d.shape[1]), PAD_DIST,
+                          jnp.float32)],
+                axis=0,
+            )
         self.adj_up = [
             jnp.concatenate(
                 [a, jnp.full((grow, a.shape[1]), PAD_ID, jnp.int32)], axis=0
@@ -1015,6 +1143,7 @@ class HNSWIndex:
         a0 = np.full((n, 2 * cfg.M), PAD_ID, np.int32)
         a0[:, : z["adj0"].shape[1]] = z["adj0"][:, : 2 * cfg.M]
         idx.adj0 = pad0.at[:n].set(jnp.asarray(a0))
+        idx.adj0_d = None  # unknown link distances; gather fallback
         idx.adj_up = []
         for a in z["adj_up"]:
             arr = jnp.full((cap, cfg.M), PAD_ID, jnp.int32)
@@ -1044,6 +1173,7 @@ class HNSWIndex:
         idx.data = idx.data.at[:n].set(jnp.asarray(z["data"]))
         idx.norms = idx.norms.at[:n].set(squared_norms(jnp.asarray(z["data"])))
         idx.adj0 = idx.adj0.at[:n].set(jnp.asarray(z["adj0"]))
+        idx.adj0_d = None  # unknown link distances; gather fallback
         idx.adj_up = []
         for lvl in range(z["adj_up"].shape[0]):
             a = jnp.full((cap, m), PAD_ID, jnp.int32)

@@ -43,6 +43,21 @@ class TestBuildSearch:
         _, _, idx = built
         assert idx.check_integrity()
 
+    def test_adj0_dist_cache_exact(self, built):
+        """The maintained level-0 link-distance cache (hnsw.adj0_d) must
+        hold the EXACT metric distance of every live link: reverse-edge
+        insertion merges and prunes against these values, so staleness
+        would silently distort link selection."""
+        x, _, idx = built
+        assert idx.adj0_d is not None
+        adj = np.asarray(idx.adj0[: idx.n])
+        cached = np.asarray(idx.adj0_d[: idx.n])
+        live = adj >= 0
+        true = ((x[:, None, :] - x[np.where(live, adj, 0)]) ** 2).sum(-1)
+        np.testing.assert_allclose(
+            cached[live], true[live], rtol=1e-4, atol=1e-4
+        )
+
     def test_ef_sweep_monotone(self, built):
         x, q, idx = built
         _, gt = brute_force_topk(q, x, 10)
