@@ -20,10 +20,12 @@ Engines (BENCH_ENGINE):
              scans; the reference's own core design, and the TPU-fastest
              *index* (routing GEMM + dense probed-slab scans on the MXU).
   cnns_nsg   — CNNS with per-cluster NSG graphs.
-  hnsw       — HierarchicalNSW with the packed int8 record layout
-             (models/records.py). Graph traversal on TPU is bound by the
-             ~0.75us/row data-dependent gather floor (PROGRESS.md "gather
-             physics"), so this engine exists for parity, not the headline.
+  hnsw       — HierarchicalNSW with the packed int8 record layout +
+             fused merge/select traversal kernel (models/records.py,
+             ops/merge_select.py). Sequential-hop traversal amortizes
+             worse than the CNNS dense scans on the MXU, so the headline
+             stays with cnns_flat, but this engine is a first-class
+             measured configuration (BENCH_ENGINE=hnsw).
   brute      — BruteforceSearch at MXU speed-of-light (secondary line; it
              has no index structure, so it is not the headline).
 
@@ -173,6 +175,28 @@ def main():
         gt = np.load(gt_cache)
         xd = qd = None
         log(f"ground truth (cached, {gt_cache})")
+    elif n > 10_000_000:
+        # chunked GT: a single resident f32 copy + brute_force_topk's
+        # internal pad would exceed HBM past ~10M x 128; stream the
+        # database in 5M-row chunks and merge the per-chunk top-k on host
+        xd = qd = None
+        qdev = jnp.asarray(queries)
+        parts_d, parts_i = [], []
+        step = 5_000_000
+        for s in range(0, n, step):
+            cd, ci = brute_force_topk(
+                qdev, jnp.asarray(x[s : s + step]), K, metric=metric
+            )
+            parts_d.append(np.asarray(cd))
+            parts_i.append(np.asarray(ci) + s)
+            log(f"ground truth chunk {s + step}/{n} "
+                f"({time.time() - t0:.1f}s)")
+        alld = np.concatenate(parts_d, axis=1)
+        alli = np.concatenate(parts_i, axis=1)
+        order = np.argsort(alld, axis=1, kind="stable")[:, :K]
+        gt = np.take_along_axis(alli, order, axis=1)
+        np.save(gt_cache, gt)
+        log(f"ground truth ({time.time() - t0:.1f}s)")
     else:
         xd = jnp.asarray(x)
         qd = jnp.asarray(queries)
@@ -236,10 +260,16 @@ def main():
         del xd
         t0 = time.time()
         idx = HNSWIndex(d, n, HNSWConfig(M=16, ef_construction=100), metric)
+        t_ins = time.time()
         idx.add_items(x, batch_size=4096)
+        ins_s = time.time() - t_ins
         idx.build_accel()
         build_s = time.time() - t0
-        log(f"hnsw build+records: {build_s:.0f}s")
+        log(f"hnsw build+records: {build_s:.0f}s "
+            f"(insert {ins_s:.0f}s = {n / ins_s:.0f} pts/s)")
+        if os.environ.get("BENCH_SAVE_INDEX"):
+            idx.save(os.environ["BENCH_SAVE_INDEX"])
+            log(f"index saved to {os.environ['BENCH_SAVE_INDEX']}")
         index_bytes = (
             idx.adj0.size * 4
             + sum(a.size * 4 for a in idx.adj_up)
@@ -433,10 +463,28 @@ def main():
                 dd, ii = idx.search(queries_dev, k=K, nprobe=nprobe)
                 np.asarray(ii)  # fetch every rep (deferred execution)
                 ts.append(time.time() - t0)
-            qps = nq / sorted(ts)[len(ts) // 2]
-            log(f"nprobe={nprobe}: recall@10={r:.4f} qps={qps:.0f}")
+            ts.sort()
+            qps = nq / ts[len(ts) // 2]
+            log(f"nprobe={nprobe}: recall@10={r:.4f} qps={qps:.0f} "
+                f"(rep ms min/med/max {ts[0] * 1e3:.0f}/"
+                f"{ts[len(ts) // 2] * 1e3:.0f}/{ts[-1] * 1e3:.0f})")
             best = (f"nprobe={nprobe}", r, qps)
             if r >= TARGET_RECALL:
+                if os.environ.get("BENCH_BREAKDOWN"):
+                    # component attribution (VERDICT r3 item 6): route-only
+                    # vs full fused search, each fetched, 10 reps
+                    rts = []
+                    for _ in range(10):
+                        t0 = time.time()
+                        v = idx._route(queries_dev, nprobe)
+                        np.asarray(v)
+                        rts.append(time.time() - t0)
+                    rts.sort()
+                    log(f"breakdown nprobe={nprobe}: route-only ms "
+                        f"min/med/max {rts[0] * 1e3:.0f}/"
+                        f"{rts[len(rts) // 2] * 1e3:.0f}/{rts[-1] * 1e3:.0f}"
+                        f"; full-search ms min/med/max {ts[0] * 1e3:.0f}/"
+                        f"{ts[len(ts) // 2] * 1e3:.0f}/{ts[-1] * 1e3:.0f}")
                 break
 
     setting, r, qps = best

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -299,8 +300,9 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         # (ops/pallas_scan.py) — no [cap, maxc] HBM materialization, no
         # separate top_k pass, and the per-slot query block is gathered
         # ON the MXU via one-hot matmul instead of jnp.take's C*cap
-        # scattered row gathers (~0.75 us/row — ~100 ms at the bench
-        # shape, formerly the dominant cost of the whole search)
+        # scattered row gathers (which an earlier standalone pass made the
+        # dominant cost of the whole search; fusing keeps the gathered
+        # block in VMEM and off the HBM round-trip entirely)
         from ..ops.pallas_scan import (
             grouped_cluster_topk, grouped_cluster_topk_gq,
             grouped_cluster_topk_gq_dblk,
@@ -321,8 +323,9 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
         # d-BLOCKED gq kernel takes over: the query set rides in
         # [qn, dblk] chunks with a VMEM dots accumulator, so the one-hot
         # MXU gather survives at any d (round 2's pre-gathered fallback
-        # paid ~0.75 us x C*cap jnp.take rows — ~70-190 ms at the GIST
-        # shape, the dominant cost of the whole scan). The pre-gathered
+        # materialized C*cap jnp.take rows through HBM — ~70-190 ms at
+        # the GIST shape, the dominant cost of the whole scan). The
+        # pre-gathered
         # kernel remains as the last resort when even the per-cluster
         # accumulator footprint (cap*maxc f32) would not fit.
         gq_vmem = (
@@ -376,8 +379,8 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
     # ---- route results back to query rows and merge the probe slots.
     # (vals, ids) ride PACKED in one int32 [C, cap, 2k] tensor so the
     # route-back costs ONE data-dependent row gather + ONE scatter
-    # instead of two of each (each [P]-row gather/scatter pays the
-    # ~0.75 us/row issue floor; P = qn*npr = 32k rows at the bench shape)
+    # instead of two of each (halving the scattered-row HBM round trips
+    # and fusion barriers; P = qn*npr = 32k rows at the bench shape)
     safe_cid = jnp.where(ok, scid, 0)
     safe_pos = jnp.where(ok, pos, 0)
     packed = jnp.concatenate(
@@ -559,7 +562,12 @@ def _route_and_group(q, reps, data_c, ids_c, cnorms_c, k, metric,
 
 def _default_pallas() -> bool:
     """The fused Pallas sweep is the production path on TPU; the XLA
-    sweep serves CPU (tests) and debugging."""
+    sweep serves CPU (tests) and debugging. CNNS_PALLAS=0/1 overrides
+    (used by bench.py's breakdown mode to attribute kernel-vs-XLA
+    throughput deltas)."""
+    ov = os.environ.get("CNNS_PALLAS")
+    if ov is not None:
+        return ov != "0"
     return jax.default_backend() not in ("cpu",)
 
 
@@ -1244,6 +1252,17 @@ def local_hnsw_arena(
     flat arena the NSG local path uses; the upper levels collapse into
     the stored enterpoint since probed clusters are small enough that
     the shared lockstep beam replaces the descent.
+
+    ABLATION-ONLY, small-N: this builds one ``HNSWIndex`` per cluster in
+    a sequential host loop (each a full batched-insert build), so cost
+    scales as C independent builds — minutes at the 65k-point ablation
+    shape, hours at 1M/1k-cluster scale. The NSG locals got the batched
+    exact-slab-pool treatment (``local_nsg_arena``/``_cluster_exact_pools``)
+    because they are a measured configuration; the HNSW locals exist to
+    complete the reference's router x local ablation matrix
+    (experiment_feature/), which the reference itself only runs at
+    experiment scale. Use ``local_index="flat"`` (production) or ``"nsg"``
+    at large N.
 
     Returns (flat_adj [C*maxc, 2*m_local] device, eps_flat [C] int64)."""
     from .hnsw import HNSWIndex

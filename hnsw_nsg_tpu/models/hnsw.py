@@ -65,7 +65,7 @@ def _route_entry_gemm(q, data_up, norms_up, ids_up, metric, n_valid):
     level-0 entry (hnswalg.h:1278-1303 approximates "nearest level-1
     node" by greedy walking); with only ~N/M such nodes the whole
     candidate set fits one [Q, n1] GEMM, which returns the *optimal*
-    entry with zero per-hop row gathers (~0.75us/row on this part)."""
+    entry with zero data-dependent gathers and zero sequential hops."""
     d = pairwise_dists(
         q.astype(data_up.dtype), data_up, metric, norms_up, exact=False
     )
@@ -109,11 +109,12 @@ class HNSWIndex:
         # cached exact metric distance of every level-0 link:
         # adj0_d[i, j] = d(data[i], data[adj0[i, j]]) (PAD_DIST on pads).
         # Reverse-edge insertion needs the receiving node's existing link
-        # distances every batch; recomputing them is a [dsts, 2M] row
-        # gather at the ~0.75us/row floor (the single largest insert
-        # cost at 1M). Maintained by every adjacency write; None after
-        # file loads (whose graphs never grew through this path) — the
-        # gather fallback then applies.
+        # distances every batch; recomputing them gathers [dsts, 2M]
+        # neighbor vectors + a distance pass per batch — per-batch host
+        # dispatches plus redundant HBM traffic that profiling
+        # (HNSW_PROFILE) showed dominating insert at 1M. Maintained by
+        # every adjacency write; None after file loads (whose graphs never
+        # grew through this path) — the gather fallback then applies.
         self.adj0_d: jax.Array | None = jnp.full(
             (self.cap, 2 * cfg.M), PAD_DIST, jnp.float32
         )
@@ -174,8 +175,8 @@ class HNSWIndex:
         (CNNS/src/nsg/index_nsg.cpp:748-764).
 
         ``accel``: maintain the packed int8 record layout incrementally and
-        run the level-0 candidate beam over it — one ~0.75us row gather per
-        expansion instead of ~2M small ones (see models/records.py). Pool
+        run the level-0 candidate beam over it — one fat-row gather per
+        expansion instead of ~2M scattered ones (see models/records.py). Pool
         distances are re-computed exactly before pruning, so link selection
         quality is unchanged; the search simply walks the same graph
         through the fat-row layout. Leaves the index with live records, so
@@ -592,8 +593,9 @@ class HNSWIndex:
         use_cache = lvl == 0 and self.adj0_d is not None
         if use_cache:
             # existing-link distances come from the maintained cache: one
-            # [dsts, 2M] f32 take instead of a [dsts * 2M] vector-row
-            # gather at the ~0.75us/row floor
+            # [dsts, 2M] f32 take instead of gathering dsts*2M neighbor
+            # vectors + a distance pass (redundant HBM traffic + an extra
+            # dispatch, re-paid every batch)
             exist_d = jnp.take(self.adj0_d, rows_j, axis=0)[:, :cap_deg]
         else:
             vecs_all = jnp.take(self.data, rows_j, axis=0)
@@ -775,8 +777,8 @@ class HNSWIndex:
                     expand=expand,
                 )
                 # int8 traversal can misorder near-ties: re-rank the head
-                # of the retset exactly (f32 rows are ~0.1 us/row to
-                # gather vs ~0.75 us for record rows — affordable at k+pad)
+                # of the retset exactly (one k+pad-row f32 gather + one
+                # small GEMM — negligible next to the traversal)
                 head = min(ef, k + 16)
                 self.metric_hops += int(jnp.sum(res.hops))
                 self.metric_distance_computations += int(jnp.sum(res.evals))

@@ -4,18 +4,18 @@ Reference pipeline: EFANNA randomized KD-trees initialize a kNN graph and
 nn-descent refines it (CNNS/efanna_graph/src/index_kdtree.cpp,
 index_graph.cpp:22-136). nn-descent's join is a scatter/gather algorithm:
 every node pulls ~hundreds of scattered candidate rows per iteration.
-On this TPU, data-dependent row gathers have a hard ~0.75 us floor
-(PROGRESS.md "gather physics"), so one nn-descent iteration at N=1M costs
-~20 minutes and trips the worker watchdog — the algorithm shape itself is
-wrong for the hardware.
+On this TPU those per-node scattered gathers materialize a huge
+irregular working set through HBM with no MXU reuse (a measured
+nn-descent iteration at N=1M ran ~20 minutes and tripped the worker
+watchdog) — the algorithm shape itself is wrong for the hardware.
 
 TPU-native replacement: the dataset is k-means-partitioned into C
 clusters laid out as padded slabs (exactly the CNNS layout); each
 cluster's member block is scored against the CONCATENATION of its own +
 (M-1) nearest clusters' slabs — one [maxc, d] x [M*maxc, d]^T MXU pass
 per cluster through the fused Pallas scan kernel (ops/pallas_scan.py).
-All memory traffic is contiguous slab reads (memcpy-speed, not the
-gather floor). A point's true neighbors lie in its own or a nearby
+All memory traffic is contiguous slab reads at streaming bandwidth —
+no scattered per-row traffic. A point's true neighbors lie in its own or a nearby
 cluster, so recall tracks IVF recall at nprobe=M.
 
 This is the same insight the reference itself uses at the pipeline level
@@ -55,7 +55,7 @@ def _cluster_join(data_c, ids_c, cnorms_c, nbrs, k, metric,
     c, maxc, d = data_c.shape
     m = nbrs.shape[1]
     # stacked candidate slabs: whole-slab gathers are contiguous ~MB
-    # reads — memcpy speed, not the row-gather floor
+    # reads at streaming bandwidth (no scattered row traffic)
     stack = jnp.take(data_c, nbrs, axis=0).reshape(c, m * maxc, d)
     sids = jnp.take(ids_c, nbrs, axis=0).reshape(c, m * maxc)
     if metric in ("ip", "cosine"):

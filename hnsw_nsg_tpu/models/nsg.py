@@ -68,8 +68,10 @@ class NSGIndex:
         """Derive the packed int8 record layout over the NSG adjacency
         (the OptimizeGraph analogue, index_nsg.cpp:570-657: repack each
         node's search state into one contiguous block). Subsequent
-        searches traverse records (one ~0.75us row gather per expansion
-        instead of R of them) and re-rank the retset head exactly."""
+        searches traverse records (one fat-row gather per expansion
+        moving R*(d+8) bytes once, instead of R scattered f32 rows at 4x
+        the bytes plus separate id/norm loads) and re-rank the retset
+        head exactly."""
         from .records import build_record_graph
 
         self.records = build_record_graph(

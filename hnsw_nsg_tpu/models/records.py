@@ -2,19 +2,26 @@
 
 The TPU re-design of the reference's ``OptimizeGraph`` repack
 (CNNS/src/nsg/index_nsg.cpp:570-682) for graphs too big for VMEM. Measured
-physics on the target chip (see PROGRESS.md "gather physics"):
+physics on the target chip (round-3 hop profile, ops/merge_select.py):
 
-  * XLA's row gather costs ~0.75 us PER ROW regardless of row size up to
-    ~8 KB (it is issue-bound, not byte-bound);
-  * any DMA whose address depends on a runtime memory load costs ~2 us
-    (Pallas manual DMA, scalar-prefetch index maps — all slower than XLA's
-    gather), while data-independent DMA streams at 170-260 GB/s.
+  * XLA's data-dependent row gather runs at ~15 ns per 4 KB row ON-DEVICE
+    inside a compiled loop (round 2's "~0.75 us/row floor" was a
+    measurement artifact: it timed per-dispatch overhead through the
+    tunnel, not the gather). Gather cost is HBM-bandwidth-shaped:
+    bytes_moved / ~800 GB/s, plus a small per-row issue cost;
+  * manual Pallas DMA for data-dependent rows is ~3x slower than XLA's
+    gather, so record rows are fetched with ``jnp.take`` and only the
+    merge/select stage is a hand-written kernel;
+  * the hop's dominant cost is the retset MERGE, not the gather: the XLA
+    merge chain was ~20 ms of a ~29 ms hop at the 1M bench shape; the
+    fused in-VMEM kernel (ops/merge_select.py) takes the hop to ~2 ms.
 
-Therefore the winning layout packs EVERYTHING a frontier expansion needs
-into ONE gathered row: the node's R neighbors' int8-quantized vectors,
-their ids, and their exact f32 squared norms. One expansion = one ~0.75 us
-gather instead of R of them — the difference between round-1's 273 QPS and
-~10-15k QPS at N=1M. Traversal distances use the FastL2 trick
+The packed row still wins, for bandwidth reasons rather than issue-rate
+ones: ONE gathered row carries everything a frontier expansion needs —
+the node's R neighbors' int8-quantized vectors, their ids, and their
+exact f32 squared norms — so an expansion moves R*(d+8) bytes once
+instead of touching R scattered f32 rows (4x the bytes) plus separate
+id/norm loads. Traversal distances use the FastL2 trick
 (CNNS/efanna_graph/include/efanna2e/distance.h: d = ||x||^2 - 2<q,x>) with
 the dot in int8-unpacked bf16 on the MXU and the norm exact.
 

@@ -37,7 +37,7 @@ import numpy as np
 
 from ..ops.distance import PAD_DIST, PAD_ID, as_f32_queries
 from ..ops.topk import topk_smallest
-from .cnns import CNNSIndex, _flat_probe_search
+from .cnns import CNNSIndex, _flat_probe_search, dedup_topk
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -68,6 +68,8 @@ class SpillCNNSIndex:
                  group_pad: int = 8):
         self.metric = idx.metric
         self.qshift = idx.qshift
+        self.qscale = idx.qscale
+        self.replicated = idx.replicated
         self.reps = idx.reps                       # device (router)
         self.n_real = idx.n_real or idx.reps.shape[0]
         self._route = idx._route
@@ -98,15 +100,23 @@ class SpillCNNSIndex:
     def search(self, queries, k: int = 100, nprobe: int = 4,
                rank_by: str = "hits"):
         q = as_f32_queries(queries)
-        if self.qshift:
-            q = q - self.qshift
+        if self.qscale != 1.0 or np.any(self.qshift):
+            # slabs are stored shifted/scaled; match the domain
+            # (CNNSIndex._search_impl's transform)
+            q = (q - jnp.asarray(self.qshift, jnp.float32)) / jnp.float32(
+                self.qscale
+            )
         nprobe = min(nprobe, self.n_real)
         visit = np.asarray(self._route(q, nprobe, rank_by))   # [Q, V]
         nq = q.shape[0]
 
+        # replicated boundary points can surface from two probed slabs:
+        # carry 2k candidates through every round's merge and dedup at
+        # the end, exactly like the resident CNNSIndex.search
+        kk = 2 * k if self.replicated else k
         probed = np.unique(visit[visit >= 0])
-        best_d = jnp.full((nq, k), PAD_DIST, jnp.float32)
-        best_i = jnp.full((nq, k), PAD_ID, jnp.int32)
+        best_d = jnp.full((nq, kk), PAD_DIST, jnp.float32)
+        best_i = jnp.full((nq, kk), PAD_ID, jnp.int32)
         gs = self.group_size
         for g0 in range(0, len(probed), gs):
             grp = probed[g0 : g0 + gs]
@@ -143,7 +153,12 @@ class SpillCNNSIndex:
                 data_d.nbytes + ids_d.nbytes + nrm_d.nbytes
             )
             gd, gi = _flat_probe_search(
-                q, jnp.asarray(vis_g), data_d, ids_d, nrm_d, k, self.metric
+                q, jnp.asarray(vis_g), data_d, ids_d, nrm_d, kk,
+                self.metric, q_round=self.qscale == 1.0,
             )
-            best_d, best_i = _merge_topk(best_d, best_i, gd, gi, k)
+            best_d, best_i = _merge_topk(best_d, best_i, gd, gi, kk)
+        if self.replicated:
+            best_d, best_i = dedup_topk(best_d, best_i, k)
+        if self.qscale != 1.0:
+            best_d = best_d * jnp.float32(self.qscale) ** 2
         return best_d, best_i

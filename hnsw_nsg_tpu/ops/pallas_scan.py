@@ -52,9 +52,15 @@ def _dots(q, s):
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
     if q.dtype == s.dtype:
+        # f32 slabs must dot at HIGHEST: the TPU MXU otherwise truncates
+        # f32 operands to bf16 (~0.4% error) — "exact" f32 configs would
+        # silently return approximate distances (round-4 verify finding).
+        # bf16/int8 production slabs take their native rate.
+        prec = (jax.lax.Precision.HIGHEST
+                if q.dtype == jnp.float32 else None)
         return jax.lax.dot_general(
             q, s, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=prec,
         )
     ch = max(128, ((2 << 20) // (s.shape[1] * 2)) // 128 * 128)
     if ch >= s.shape[0]:
@@ -240,9 +246,9 @@ def _scan_kernel_gq(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
     """Variant that gathers the cluster's query block ON the MXU.
 
     The XLA path materializes qv[C, cap, d] with a data-dependent row
-    gather (jnp.take) — C*cap scattered ~256 B rows, which on this part
-    costs ~0.75 us/row (PROGRESS.md gather physics): ~100 ms at the
-    SIFT1M bench shape, dominating the whole scan. Here the gather is a
+    gather (jnp.take) — C*cap scattered ~256 B rows round-tripped
+    through HBM, measured at ~100 ms at the SIFT1M bench shape,
+    dominating the whole scan. Here the gather is a
     one-hot matmul instead: onehot[cap, qn] @ qc[qn, d] on the MXU
     (2*cap*qn*d flops ~ 0.27 GF/cluster — ~2 ms total at C=1024), with
     qc VMEM-resident across the whole grid. PAD slots (qidx < 0) match
@@ -262,6 +268,11 @@ def _scan_kernel_gq(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
         q = jax.lax.dot_general(
             sel.astype(qc.dtype), qc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # f32 queries must gather losslessly: DEFAULT would truncate
+            # them to bf16 on the MXU (one-hot rows are exact at any
+            # precision, the QUERY values are what gets rounded)
+            precision=(jax.lax.Precision.HIGHEST
+                       if qc.dtype == jnp.float32 else None),
         ).astype(qc.dtype)             # [cap, d]
     s = slab_ref[0]                    # [maxc, d]
     dots = _dots(q, s)
@@ -349,8 +360,8 @@ def _scan_kernel_gq_dblk(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
     At d >= ~512 the whole-query-set VMEM residency of the plain gq
     kernel overflows the 16 MB scoped stack (8192 x 960 bf16 = 15.7 MB at
     the GIST shape), which previously forced the pre-gathered-query
-    fallback — C*cap scattered jnp.take row gathers at the ~0.75 us/row
-    floor, ~190 ms/batch at GIST, the dominant cost of the whole scan
+    fallback — C*cap scattered jnp.take row gathers materialized through
+    HBM, ~190 ms/batch at GIST, the dominant cost of the whole scan
     (PROGRESS.md round-3). Here the query set rides in [qn, dblk] chunks
     (grid = (C, nd), d innermost): partial dots accumulate in a VMEM
     scratch across the d steps and the top-k extraction fires on the last
@@ -374,6 +385,8 @@ def _scan_kernel_gq_dblk(qidx_ref, qc_ref, slab_ref, bias_ref, vals_ref,
         q = jax.lax.dot_general(
             sel.astype(qc.dtype), qc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=(jax.lax.Precision.HIGHEST
+                       if qc.dtype == jnp.float32 else None),
         ).astype(qc.dtype)             # [cap, dblk]
     s = slab_ref[0]                    # [maxc, dblk]
     dots = _dots(q, s)                 # [cap, maxc] f32

@@ -265,6 +265,42 @@ class TestSpill:
         _, gt = brute_force_topk(jnp.asarray(q), jnp.asarray(x), 10)
         assert recall(np.asarray(si), np.asarray(gt)) > 0.85
 
+    def test_replicated_spill_matches_resident_search(self):
+        """Replicated indexes hold boundary points in two slabs; the spill
+        search must carry 2k candidates and dedup like the resident
+        CNNSIndex.search — without it, duplicate ids eat top-k slots and
+        recall FALLS as nprobe grows (the round-4 bench-smoke bug)."""
+        from hnsw_nsg_tpu.models.cnns import build_cnns
+        from hnsw_nsg_tpu.models.spill import SpillCNNSIndex
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        rng = np.random.default_rng(13)
+        centers = rng.standard_normal((16, 24)).astype(np.float32) * 2.0
+        xa = rng.integers(0, 16, 12_000)
+        x = (centers[xa]
+             + rng.standard_normal((12_000, 24))).astype(np.float32)
+        q = (centers[rng.integers(0, 16, 96)]
+             + rng.standard_normal((96, 24))).astype(np.float32)
+        idx = build_cnns(
+            x, CNNSConfig(n_clusters=24, m=2, kmeans_iters=6,
+                          replicate=True),
+        )
+        assert idx.replicated
+        budget = 8 * idx.data_c[0].nbytes
+        sp = SpillCNNSIndex(idx, hbm_budget_bytes=budget, group_pad=4)
+        sd, si = sp.search(q, k=10, nprobe=6)
+        rd, ri = idx.search(q, k=10, nprobe=6)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(ri))
+        np.testing.assert_allclose(
+            np.asarray(sd), np.asarray(rd), rtol=1e-5, atol=1e-4
+        )
+        si_np = np.asarray(si)
+        assert all(
+            len(np.unique(row[row >= 0])) == (row >= 0).sum()
+            for row in si_np
+        ), "duplicate ids in deduped spill results"
+        assert sp.stats.transfer_rounds >= 2
+
     def test_budget_too_small_raises(self):
         from hnsw_nsg_tpu.models.cnns import build_cnns
         from hnsw_nsg_tpu.models.spill import SpillCNNSIndex
