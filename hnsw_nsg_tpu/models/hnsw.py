@@ -74,6 +74,103 @@ def _route_entry_gemm(q, data_up, norms_up, ids_up, metric, n_valid):
     return jnp.take(ids_up, jnp.argmin(d, axis=1))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cap_deg", "metric", "use_cache"),
+)
+def _reverse_insert_jit(adj_l, cache_d, data, norms, kept_i, kept_d,
+                        cols, src, rows_j, live, cap_deg: int,
+                        metric: str, use_cache: bool):
+    """Whole reverse-edge insertion round as one compiled program
+    (mutuallyConnectNewElement's second half, hnswalg.h:554-627):
+
+      1. proposal scatter inc[dst, rand_col] = (src, d);
+      2. existing-link distances from the adj0_d cache (``use_cache``) or
+         recomputed by a gathered distance pass;
+      3. pool = existing ++ incoming, sorted dedup merge (the room/append
+         path) + overflow detection;
+      4. occlusion re-prune over EVERY bucket row, applied only where the
+         row actually overflows (jnp.where select). Pruning the
+         non-overflow rows too wastes ~the overflow fraction's complement
+         of prune work, but removes the mid-phase host sync and the
+         overflow-count compile variants the previous two-program version
+         paid — host dispatch round-trips dominated insert wall-clock.
+
+    cache_d must be a real array even when use_cache=False (pass any f32
+    array; it is returned untouched)."""
+    cap = adj_l.shape[0]
+    b, m = kept_i.shape
+    bucket = rows_j.shape[0]
+    dst_idx = jnp.where(kept_i >= 0, kept_i, cap)
+    src_b = jnp.broadcast_to(src[:, None], (b, m))
+    inc = jnp.full((cap, cap_deg), PAD_ID, jnp.int32).at[
+        dst_idx.reshape(-1), cols.reshape(-1)
+    ].set(src_b.reshape(-1), mode="drop")
+    inc_d = jnp.full((cap, cap_deg), PAD_DIST, jnp.float32).at[
+        dst_idx.reshape(-1), cols.reshape(-1)
+    ].set(kept_d.reshape(-1), mode="drop")
+
+    exist = jnp.take(adj_l, rows_j, axis=0)[:, :cap_deg]
+    if use_cache:
+        exist_d = jnp.take(cache_d, rows_j, axis=0)[:, :cap_deg]
+    else:
+        vecs_all = jnp.take(data, rows_j, axis=0)
+        exist_d = gathered_dists(
+            vecs_all, data, exist, metric, norms, exact=True,
+        )
+    pool_i = jnp.concatenate(
+        [exist, jnp.take(inc, rows_j, axis=0)], axis=1
+    )
+    pool_d = jnp.concatenate(
+        [exist_d, jnp.take(inc_d, rows_j, axis=0)], axis=1
+    )
+    # drop duplicate (dst already links src) via sorted-dedup merge;
+    # result doubles as the "room" (append) path
+    from ..ops.topk import merge_into_retset_sorted
+    md, mi, _ = merge_into_retset_sorted(
+        jnp.full((bucket, cap_deg), PAD_DIST, jnp.float32),
+        jnp.full((bucket, cap_deg), PAD_ID, jnp.int32),
+        jnp.ones((bucket, cap_deg), jnp.bool_),
+        pool_d, pool_i,
+    )
+    sp = jnp.sort(pool_i, axis=1)
+    distinct = (sp >= 0) & jnp.concatenate(
+        [jnp.ones_like(sp[:, :1], dtype=jnp.bool_),
+         sp[:, 1:] != sp[:, :-1]],
+        axis=1,
+    )
+    overflow = (jnp.sum(distinct, axis=1) > cap_deg) & live
+
+    from .prune import occlusion_prune_padded
+    kept2_i, kept2_d = occlusion_prune_padded(
+        jnp.take(data, rows_j, axis=0),
+        jnp.where(live[:, None], pool_i, PAD_ID),
+        pool_d,
+        data, norms,
+        max_keep=cap_deg, metric=metric, self_ids=rows_j,
+    )
+    new_rows = jnp.where(overflow[:, None], kept2_i, mi)
+    new_d = jnp.where(overflow[:, None], kept2_d, md)
+
+    w = adj_l.shape[1]
+    if w > cap_deg:
+        new_rows = jnp.concatenate(
+            [new_rows,
+             jnp.full((bucket, w - cap_deg), PAD_ID, jnp.int32)],
+            axis=1,
+        )
+    write_rows = jnp.where(live, rows_j, cap)
+    adj_l = adj_l.at[write_rows].set(new_rows, mode="drop")
+    if use_cache:
+        if w > cap_deg:
+            new_d = jnp.concatenate(
+                [new_d,
+                 jnp.full((bucket, w - cap_deg), PAD_DIST, jnp.float32)],
+                axis=1,
+            )
+        cache_d = cache_d.at[write_rows].set(new_d, mode="drop")
+    return adj_l, cache_d
+
+
 class HNSWIndex:
     """Mutable HNSW index over a fixed-capacity arena."""
 
@@ -106,17 +203,18 @@ class HNSWIndex:
         self.norms = jnp.zeros((self.cap,), jnp.float32)
         self.levels = np.zeros((self.cap,), np.int32)
         self.adj0 = jnp.full((self.cap, 2 * cfg.M), PAD_ID, jnp.int32)
-        # cached exact metric distance of every level-0 link:
+        # optional cached exact metric distance of every level-0 link:
         # adj0_d[i, j] = d(data[i], data[adj0[i, j]]) (PAD_DIST on pads).
         # Reverse-edge insertion needs the receiving node's existing link
-        # distances every batch; recomputing them gathers [dsts, 2M]
-        # neighbor vectors + a distance pass per batch — per-batch host
-        # dispatches plus redundant HBM traffic that profiling
-        # (HNSW_PROFILE) showed dominating insert at 1M. Maintained by
-        # every adjacency write; None after file loads (whose graphs never
-        # grew through this path) — the gather fallback then applies.
-        self.adj0_d: jax.Array | None = jnp.full(
-            (self.cap, 2 * cfg.M), PAD_DIST, jnp.float32
+        # distances every batch; with the whole round fused into one
+        # jitted program (_reverse_insert_jit) the in-jit gathered
+        # recompute measures CHEAPER than maintaining this cache (the
+        # cache adds a full-array copy per batch: 1,423 vs 1,138 pts/s at
+        # 200k, round-4 insert A/B), so it is OFF by default —
+        # HNSWConfig.link_dist_cache opts in. None also after file loads.
+        self.adj0_d: jax.Array | None = (
+            jnp.full((self.cap, 2 * cfg.M), PAD_DIST, jnp.float32)
+            if cfg.link_dist_cache else None
         )
         self.adj_up: list[jax.Array] = []  # level l adjacency at index l-1
 
@@ -549,13 +647,16 @@ class HNSWIndex:
         """Bidirectional linking with overflow re-prune
         (mutuallyConnectNewElement's second half, hnswalg.h:554-627).
 
-        Device-resident: proposals scatter into per-destination buffers on
-        device (random-column reservoir, matching the batch's inherent
-        nondeterminism); destinations with room merge-append (dedup by
-        distance-sort, order-free equivalent of the reference's free-slot
-        append); overflowing destinations occlusion-re-prune. Only the tiny
-        destination-id list crosses to the host — the adjacency never does
-        (device<->host is the bottleneck on tunneled TPUs)."""
+        ONE device program per level (``_reverse_insert_jit``): proposals
+        scatter into per-destination buffers (random-column reservoir,
+        matching the batch's inherent nondeterminism); destinations with
+        room merge-append (dedup by distance-sort, order-free equivalent
+        of the reference's free-slot append); overflowing destinations
+        occlusion-re-prune, selected by an in-program mask. Only the tiny
+        destination-id list crosses to the host — the adjacency never
+        does, and there is no mid-phase host sync (the pre-round-4
+        eager-op version cost ~20 dispatches/level and dominated insert
+        wall-clock at 1M)."""
         cap_deg = 2 * self.cfg.M if lvl == 0 else self.cfg.M
         kept_i = jnp.asarray(kept_i)
         kept_d = jnp.asarray(kept_d)
@@ -565,116 +666,29 @@ class HNSWIndex:
             return None
         adj_l = self._adj_at(lvl)
 
-        # scatter proposals: inc[dst, rand_col] = (src, d)
         b, m = kept_np.shape
         rng_cols = self._rng.integers(0, cap_deg, (b, m))
-        cols = jnp.asarray(rng_cols, jnp.int32)
-        dst_idx = jnp.where(kept_i >= 0, kept_i, self.cap)
-        src_b = jnp.broadcast_to(
-            jnp.asarray(src, jnp.int32)[:, None], (b, m)
-        )
-        inc = jnp.full((self.cap, cap_deg), PAD_ID, jnp.int32).at[
-            dst_idx.reshape(-1), cols.reshape(-1)
-        ].set(src_b.reshape(-1), mode="drop")
-        inc_d = jnp.full((self.cap, cap_deg), PAD_DIST, jnp.float32).at[
-            dst_idx.reshape(-1), cols.reshape(-1)
-        ].set(kept_d.reshape(-1), mode="drop")
-
         # bucket the receiving-destination list (host side, tiny)
         bucket = 512
         while bucket < len(dsts):
             bucket *= 2
         rows_np = np.full(bucket, -1, np.int64)
         rows_np[: len(dsts)] = dsts
-        rows_j = jnp.asarray(np.where(rows_np >= 0, rows_np, 0))
-        live = jnp.asarray(rows_np >= 0)
 
-        exist = jnp.take(adj_l, rows_j, axis=0)[:, :cap_deg]
         use_cache = lvl == 0 and self.adj0_d is not None
-        if use_cache:
-            # existing-link distances come from the maintained cache: one
-            # [dsts, 2M] f32 take instead of gathering dsts*2M neighbor
-            # vectors + a distance pass (redundant HBM traffic + an extra
-            # dispatch, re-paid every batch)
-            exist_d = jnp.take(self.adj0_d, rows_j, axis=0)[:, :cap_deg]
-        else:
-            vecs_all = jnp.take(self.data, rows_j, axis=0)
-            exist_d = gathered_dists(
-                vecs_all, self.data, exist, self.metric, self.norms,
-                exact=True,
-            )
-        pool_i = jnp.concatenate(
-            [exist, jnp.take(inc, rows_j, axis=0)], axis=1
+        cache_arr = self.adj0_d if use_cache else self.norms  # dummy
+        adj_l, cache_out = _reverse_insert_jit(
+            adj_l, cache_arr, self.data, self.norms,
+            kept_i, kept_d,
+            jnp.asarray(rng_cols, jnp.int32),
+            jnp.asarray(src, jnp.int32),
+            jnp.asarray(np.where(rows_np >= 0, rows_np, 0)),
+            jnp.asarray(rows_np >= 0),
+            cap_deg=cap_deg, metric=self.metric, use_cache=use_cache,
         )
-        pool_d = jnp.concatenate(
-            [exist_d, jnp.take(inc_d, rows_j, axis=0)], axis=1
-        )
-        # drop duplicate (dst already links src) via sorted-dedup merge;
-        # result doubles as the "room" (append) path
-        from ..ops.topk import merge_into_retset_sorted
-        md, mi, _ = merge_into_retset_sorted(
-            jnp.full((bucket, cap_deg), PAD_DIST, jnp.float32),
-            jnp.full((bucket, cap_deg), PAD_ID, jnp.int32),
-            jnp.ones((bucket, cap_deg), jnp.bool_),
-            pool_d, pool_i,
-        )
-        sp = jnp.sort(pool_i, axis=1)
-        distinct = (sp >= 0) & jnp.concatenate(
-            [jnp.ones_like(sp[:, :1], dtype=jnp.bool_),
-             sp[:, 1:] != sp[:, :-1]],
-            axis=1,
-        )
-        overflow = jnp.sum(distinct, axis=1) > cap_deg
-        # the occlusion re-prune (shrink path) runs ONLY on the rows that
-        # actually overflow: its pool-vector gather ([rows, 2*cap_deg]
-        # data rows) is the dominant insert cost, and room-path rows
-        # (merge-append, the majority until the graph saturates) never
-        # consume its result
-        ov_np = np.nonzero(np.asarray(overflow) & (rows_np >= 0))[0]
-        new_rows, new_d = mi, md
-        if len(ov_np):
-            ovb = 256
-            while ovb < len(ov_np):
-                ovb *= 2
-            ovb = min(ovb, bucket)
-            ov_pad = np.zeros(ovb, np.int64)
-            ov_pad[: len(ov_np)] = ov_np
-            ov_live = np.zeros(ovb, bool)
-            ov_live[: len(ov_np)] = True
-            ov_j = jnp.asarray(ov_pad)
-            rows_ov = jnp.take(rows_j, ov_j)
-            kept2_i, kept2_d = occlusion_prune_padded(
-                jnp.take(self.data, rows_ov, axis=0),
-                jnp.where(jnp.asarray(ov_live)[:, None],
-                          jnp.take(pool_i, ov_j, axis=0), PAD_ID),
-                jnp.take(pool_d, ov_j, axis=0),
-                self.data, self.norms,
-                max_keep=cap_deg, metric=self.metric, self_ids=rows_ov,
-            )
-            sel = jnp.asarray(ov_pad[ov_live])
-            new_rows = new_rows.at[sel].set(kept2_i[: len(ov_np)])
-            new_d = new_d.at[sel].set(kept2_d[: len(ov_np)])
-        w = adj_l.shape[1]
-        if w > cap_deg:
-            new_rows = jnp.concatenate(
-                [new_rows,
-                 jnp.full((bucket, w - cap_deg), PAD_ID, jnp.int32)],
-                axis=1,
-            )
-        write_rows = jnp.where(live, rows_j, self.cap)
-        adj_l = adj_l.at[write_rows].set(new_rows, mode="drop")
         self._set_adj(lvl, adj_l)
         if use_cache:
-            if w > cap_deg:
-                new_d = jnp.concatenate(
-                    [new_d,
-                     jnp.full((bucket, w - cap_deg), PAD_DIST,
-                              jnp.float32)],
-                    axis=1,
-                )
-            self.adj0_d = self.adj0_d.at[write_rows].set(
-                new_d, mode="drop"
-            )
+            self.adj0_d = cache_out
         return dsts
 
     # ------------------------------------------------------------------

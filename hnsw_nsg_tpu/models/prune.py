@@ -95,7 +95,21 @@ def occlusion_prune(
     def block_fn(args):
         s_ids_b, s_d_b = args
         safe = jnp.where(s_ids_b >= 0, s_ids_b, 0)
-        vecs = jnp.take(data, safe, axis=0).astype(jnp.float32)  # [B,C,d]
+        # bf16 gather+dots on accelerators: the TPU einsum at DEFAULT
+        # precision already truncated f32 operands to bf16 on the MXU, so
+        # casting at the gather halves the [B, C, d] HBM traffic (the
+        # prune's dominant cost) with bit-identical pair distances there.
+        # CPU keeps f32 (its DEFAULT einsum is exact, and the scalar
+        # sync_prune parity test relies on it). The occlusion RULE only
+        # compares pair dists against exact candidate dists — stored link
+        # distances always come from cand_dists, never from these dots.
+        dtype = (
+            jnp.bfloat16
+            if data.dtype == jnp.float32
+            and jax.default_backend() not in ("cpu",)
+            else data.dtype
+        )
+        vecs = jnp.take(data, safe, axis=0).astype(dtype)  # [B,C,d]
         dots = jnp.einsum(
             "bcd,bed->bce", vecs, vecs,
             preferred_element_type=jnp.float32,
@@ -172,7 +186,11 @@ def occlusion_prune_padded(
     """
     b, c = cand_ids.shape
     bp = _next_bucket(b, 512)
-    cp = _next_bucket(c, 128)
+    # 64 is the smallest lane-aligned width; a 128 minimum used to pad
+    # the reverse-insert's 64-wide (level-0) and 32-wide (upper) pools
+    # 2-4x, quadrupling the [B, C, C] pair einsum + doubling the vector
+    # gather of the insert hot path for nothing (round-4 insert profile)
+    cp = _next_bucket(c, 64)
     if bp != b:
         node_vecs = jnp.concatenate(
             [node_vecs,

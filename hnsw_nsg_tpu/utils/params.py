@@ -51,6 +51,13 @@ class HNSWConfig:
     # >1 trades a few extra distance evals for proportionally fewer
     # sequential hops (TPU-specific knob, no reference equivalent)
     insert_expand: int = 4
+    # maintain the level-0 link-distance cache (hnsw.adj0_d). Off by
+    # default: with reverse-edge insertion fused into one jitted program
+    # the in-jit recompute (a gathered distance pass) is cheaper than the
+    # cache's per-batch full-array copy traffic — measured 1,423 vs
+    # 1,138 pts/s at 200k (round-4 insert A/B). Kept as an option for
+    # workloads where the recompute dominates (very wide links or dims).
+    link_dist_cache: bool = False
 
     @property
     def maxM0(self) -> int:

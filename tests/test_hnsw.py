@@ -43,12 +43,18 @@ class TestBuildSearch:
         _, _, idx = built
         assert idx.check_integrity()
 
-    def test_adj0_dist_cache_exact(self, built):
-        """The maintained level-0 link-distance cache (hnsw.adj0_d) must
-        hold the EXACT metric distance of every live link: reverse-edge
-        insertion merges and prunes against these values, so staleness
-        would silently distort link selection."""
-        x, _, idx = built
+    def test_adj0_dist_cache_exact(self, rng):
+        """The opt-in level-0 link-distance cache (hnsw.adj0_d,
+        HNSWConfig.link_dist_cache) must hold the EXACT metric distance
+        of every live link: reverse-edge insertion merges and prunes
+        against these values, so staleness would silently distort link
+        selection."""
+        x = rng.standard_normal((3000, 24)).astype(np.float32)
+        idx = HNSWIndex(
+            24, 3000,
+            HNSWConfig(M=8, ef_construction=60, link_dist_cache=True),
+        )
+        idx.add_items(x, batch_size=1024)
         assert idx.adj0_d is not None
         adj = np.asarray(idx.adj0[: idx.n])
         cached = np.asarray(idx.adj0_d[: idx.n])
