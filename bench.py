@@ -44,7 +44,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hnsw_nsg_tpu.utils.cache import enable_persistent_cache
 
-enable_persistent_cache()
+_CACHE_DIR = enable_persistent_cache()
+# Self-documenting compile state (VERDICT r4 item 10: BENCH_r04's
+# build_s=137 vs a warm-cache 46 s went unexplained): count persisted
+# compile-cache entries up front so the JSON can say cold vs warm.
+_CACHE_ENTRIES_BEFORE = len(os.listdir(_CACHE_DIR))
 
 import numpy as np  # noqa: E402
 
@@ -488,6 +492,16 @@ def main():
                 break
 
     setting, r, qps = best
+    # compile-cache attribution: new persisted entries mean this run paid
+    # compile time inside build_s/search sweeps (cold); zero new entries
+    # means every program came from the warm cache
+    new_entries = len(os.listdir(_CACHE_DIR)) - _CACHE_ENTRIES_BEFORE
+    cache_state = (
+        f"warm_cache({_CACHE_ENTRIES_BEFORE} entries)" if new_entries <= 0
+        else f"cold_compiles({new_entries} new of "
+             f"{_CACHE_ENTRIES_BEFORE + new_entries})"
+    )
+    log(f"compile cache: {cache_state}")
     log(f"index bytes: {index_bytes / 1e9:.2f} GB "
         f"(raw vectors {raw_bytes / 1e9:.2f} GB, "
         f"reference HNSW rule {ref_rule / 1e9:.2f} GB)")
@@ -504,7 +518,8 @@ def main():
         "metric": (
             f"{head}, "
             f"{cfg_name} N={n} d={d} {metric} {data_kind}, "
-            f"engine={engine} {setting}, build_s={build_s:.0f}, "
+            f"engine={engine} {setting}, build_s={build_s:.0f} "
+            f"[{cache_state}], "
             f"index_gb={index_bytes / 1e9:.2f} "
             f"(ref_hnsw_rule_gb={ref_rule / 1e9:.2f}), 1 TPU chip"
         ),

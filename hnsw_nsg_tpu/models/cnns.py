@@ -703,8 +703,10 @@ class CNNSIndex:
             # slabs; the impl fetched 2k candidates and deduped here
             d, i = dedup_topk(d, i, k)
         if self.qscale != 1.0:
-            # slabs live in the quantized domain; report metric-unit dists
-            d = d * jnp.float32(self.qscale) ** 2
+            # slabs live in the quantized domain; report metric-unit
+            # dists. Rescale filled slots only — unfilled PAD_DIST
+            # sentinels (3.4e37) would overflow to inf at qscale >= ~2
+            d = jnp.where(i >= 0, d * jnp.float32(self.qscale) ** 2, d)
         return d, i
 
     def _search_impl(self, queries, k, nprobe, l_search, expand, rank_by,

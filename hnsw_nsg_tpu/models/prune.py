@@ -103,10 +103,13 @@ def occlusion_prune(
         # sync_prune parity test relies on it). The occlusion RULE only
         # compares pair dists against exact candidate dists — stored link
         # distances always come from cand_dists, never from these dots.
+        # TPU only: there DEFAULT-precision einsum already truncates f32
+        # operands to bf16, so the cast is bit-identical; on GPU (tf32/f32
+        # DEFAULT) it would genuinely lose precision vs f32 inputs
         dtype = (
             jnp.bfloat16
             if data.dtype == jnp.float32
-            and jax.default_backend() not in ("cpu",)
+            and jax.default_backend() == "tpu"
             else data.dtype
         )
         vecs = jnp.take(data, safe, axis=0).astype(dtype)  # [B,C,d]

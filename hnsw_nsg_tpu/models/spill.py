@@ -160,5 +160,12 @@ class SpillCNNSIndex:
         if self.replicated:
             best_d, best_i = dedup_topk(best_d, best_i, k)
         if self.qscale != 1.0:
-            best_d = best_d * jnp.float32(self.qscale) ** 2
+            # rescale filled slots only: unfilled PAD_DIST sentinels
+            # (3.4e37) would overflow to inf at qscale >= ~2 and break
+            # callers that recognize the sentinel
+            best_d = jnp.where(
+                best_i >= 0,
+                best_d * jnp.float32(self.qscale) ** 2,
+                best_d,
+            )
         return best_d, best_i

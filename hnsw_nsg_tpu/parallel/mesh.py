@@ -343,7 +343,11 @@ class ShardedCNNSIndex:
                 jax.sharding.NamedSharding(mesh, P(AXIS, None)),
             ),
             cnorms_c=cnorms,
-            n_clusters=c,
+            # the REAL cluster count: idx.n_clusters is already padded to
+            # a multiple of 64 with 1e15 sentinel reps (build_cnns), and
+            # this build pads further to a multiple of S. Routing must
+            # index-mask ALL sentinel rows (they win ip routing by value)
+            n_clusters=int(getattr(idx, "n_real", None) or idx.n_clusters),
             metric=idx.metric,
             replicated=bool(getattr(idx, "replicated", False)),
         )
@@ -357,7 +361,12 @@ class ShardedCNNSIndex:
         s = self.mesh.shape[AXIS]
         slots = slots or min(nprobe, -(-nprobe // s) + 1)
         nprobe = min(nprobe, self.n_clusters)
-        visit = _route_clusters(q, self.reps, nprobe, self.metric)
+        # n_valid masks the +1e30 sentinel rep rows by INDEX: for the ip
+        # metric a huge-magnitude rep has a huge |inner product| and would
+        # win routing by value, silently burning probe slots
+        # (models/cnns.py _route_clusters docstring)
+        visit = _route_clusters(q, self.reps, nprobe, self.metric,
+                                n_valid=self.n_clusters)
         visit = jnp.where(visit < self.n_clusters, visit, PAD_ID)
         metric = self.metric
         # spilled slabs can surface a replicated id from two probed
@@ -517,7 +526,8 @@ class MultiSliceCNNSIndex:
                 squared_norms(jnp.asarray(data_c[perm])),
                 jax.sharding.NamedSharding(mesh, P(AXIS, None)),
             ),
-            n_clusters=c,
+            # real (pre-padding) count — see ShardedCNNSIndex.build
+            n_clusters=int(getattr(idx, "n_real", None) or idx.n_clusters),
             metric=idx.metric,
             replicated=bool(getattr(idx, "replicated", False)),
         )
@@ -556,7 +566,10 @@ class MultiSliceCNNSIndex:
         def run(qq, reps, slabs, idsl, nrm):
             # routing is replicated WITHIN the slice (tiny rep table);
             # each slice routes only its own query rows
-            vis = _route_clusters(qq, reps, nprobe, metric)
+            # n_valid: index-mask the sentinel rep pad rows (by value a
+            # huge-magnitude rep WINS ip routing — see ShardedCNNSIndex)
+            vis = _route_clusters(qq, reps, nprobe, metric,
+                                  n_valid=n_clusters)
             vis = jnp.where(vis < n_clusters, vis, PAD_ID)
             my = jax.lax.axis_index(AXIS)
             owned = (vis >= 0) & (jax.lax.rem(vis, s) == my)

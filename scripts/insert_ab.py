@@ -4,11 +4,10 @@ VERDICT r3 item 3: the adj0_d cache (models/hnsw.py) landed in round 3
 explicitly to kill the reverse-insert link-distance recompute — the
 profile-named largest insert cost at 1M — but no before/after number was
 ever taken. This script builds the same index twice at BENCH-shaped data
-(N defaults to 200k so the A/B fits a few chip-minutes) with the cache
-enabled (default) and disabled (adj0_d = None right after construction,
-which routes _reverse_insert through the gather fallback), reporting warm
-points/s for each, plus an HNSW_PROFILE-style phase breakdown of the last
-batches.
+(N defaults to 200k so the A/B fits a few chip-minutes) with
+HNSWConfig.link_dist_cache=True and =False (the default; the flag routes
+_reverse_insert through the gather path), reporting warm points/s for
+each, plus an HNSW_PROFILE-style phase breakdown of the last batches.
 
 Reference counterpart: parallel addPoint over OpenMP threads
 (hnswlib/tests/cpp/sift_1b.cpp:303-344); here insertion is bulk-
@@ -49,9 +48,11 @@ def build(x, use_cache: bool, accel: bool = False):
     import jax
 
     n = x.shape[0]
-    idx = HNSWIndex(D, n, HNSWConfig(M=16, ef_construction=100), "l2")
-    if not use_cache:
-        idx.adj0_d = None
+    idx = HNSWIndex(
+        D, n,
+        HNSWConfig(M=16, ef_construction=100, link_dist_cache=use_cache),
+        "l2",
+    )
     # warmup/compile phase: first quarter (compiles every bucket size)
     n_warm = n // 4
     t0 = time.time()

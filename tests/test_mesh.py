@@ -203,6 +203,60 @@ class TestShardedCNNS:
             assert (recall(i1, gt)
                     >= recall(np.asarray(i0), gt) - 0.01)
 
+    def test_ip_metric_unaligned_clusters_wastes_no_probe_slots(self, rng):
+        """ip metric + cluster count not a multiple of S: the sharded rep
+        table pads with +1e30 sentinel rows, whose |inner product| is huge
+        — routed BY VALUE they'd win ~half the queries and burn probe
+        slots (models/cnns.py _route_clusters docstring). The search must
+        index-mask them (n_valid), so every routed slot up to nprobe is a
+        real cluster and sharded recall matches single-device recall."""
+        from hnsw_nsg_tpu.models.cnns import _route_clusters, build_cnns
+        from hnsw_nsg_tpu.parallel.mesh import ShardedCNNSIndex, make_mesh
+        from hnsw_nsg_tpu.utils.params import CNNSConfig
+
+        n, d, nq, k, nprobe = 6000, 24, 64, 10, 4
+        centers = rng.standard_normal((30, d)).astype(np.float32) * 4
+        x = (centers[rng.integers(0, 30, n)]
+             + rng.standard_normal((n, d))).astype(np.float32)
+        q = (centers[rng.integers(0, 30, nq)]
+             + rng.standard_normal((nq, d))).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        idx = build_cnns(
+            x, CNNSConfig(n_clusters=30, m=2, kmeans_iters=8), metric="ip"
+        )
+        mesh = make_mesh(8)
+        sidx = ShardedCNNSIndex.build(mesh, idx)
+        # the sharded index must carry the REAL slab count (oversized
+        # clusters may split, so it can exceed 30), never the padded one
+        assert sidx.n_clusters == idx.n_real
+        assert sidx.reps.shape[0] > sidx.n_clusters  # sentinel rows exist
+        # routed exactly as ShardedCNNSIndex.search routes: every slot up
+        # to nprobe must be a REAL cluster — a sentinel id (>= 30) in any
+        # slot means that probe slot was wasted on a pad row
+        visit = np.asarray(_route_clusters(
+            jnp.asarray(q), sidx.reps, nprobe, "ip",
+            n_valid=sidx.n_clusters,
+        ))
+        assert (visit[:, :nprobe] < sidx.n_clusters).all(), visit.max()
+        assert (visit[:, :nprobe] >= 0).all()
+        # and the sentinel rows DO win by value — the index mask is
+        # load-bearing, not decorative
+        visit_raw = np.asarray(_route_clusters(
+            jnp.asarray(q), sidx.reps, nprobe, "ip",
+        ))
+        assert (visit_raw[:, :nprobe] >= sidx.n_clusters).any()
+        # end-to-end: sharded recall matches the single-device search
+        # (which always passes n_valid) at the same nprobe
+        _, gt = brute_force_topk(
+            jnp.asarray(q), jnp.asarray(x), k, metric="ip"
+        )
+        gt = np.asarray(gt)
+        _, ii, _ = sidx.search(q, k=k, nprobe=nprobe)
+        d1, i1 = idx.search(q, k=k, nprobe=nprobe)
+        assert (recall(np.asarray(ii), gt)
+                >= recall(np.asarray(i1), gt) - 0.02)
+
 
 class TestMultiSlice:
     """2-D (dcn, ici) mesh: index replicated per slice, queries
