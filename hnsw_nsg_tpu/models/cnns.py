@@ -234,12 +234,13 @@ def _flat_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "cap", "block", "approx", "pallas",
-                     "q_round", "k_out"),
+                     "q_round", "k_out", "sp_budget"),
 )
 def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
                           cap: int, block: int, approx: bool,
                           pallas: bool = False, q_round: bool = True,
-                          k_out: int | None = None):
+                          k_out: int | None = None,
+                          sp_budget: int | None = None):
     """Inverted, cluster-major probe scan.
 
     The per-query slot scan (_flat_probe_search) gathers each probed slab
@@ -424,7 +425,10 @@ def _grouped_probe_search(q, visit, data_c, ids_c, cnorms_c, k, metric,
     # pair's slab directly (cost proportional to the spill count, not Q).
     # Pairs beyond the spill budget — beyond-rare, and by construction the
     # lowest-ranked probes of the most over-subscribed clusters — drop.
-    sp_budget = max(256, min(1 << (int(qn * npr / 16)).bit_length(), 2048))
+    if sp_budget is None:
+        sp_budget = max(
+            256, min(1 << (int(qn * npr / 16)).bit_length(), 2048)
+        )
     order2 = jnp.argsort(~spilled, stable=True)[:sp_budget]
     m = spilled[order2]
     pq = jnp.where(m, sq[order2], 0)
@@ -732,7 +736,9 @@ class CNNSIndex:
             pairs = q.shape[0] * nprobe
             if group is None:
                 group = pairs >= 2 * c and c % 64 == 0
-            if group and c % 64 == 0:
+            if group and c % 64 == 0 and 512 * c >= 2 * pairs:
+                # (demand beyond the 512 cap ceiling falls through to
+                # _search_flat's multi-pass grouped scan below)
                 cap = 8
                 while cap * c < 2 * pairs and cap < 512:
                     cap *= 2
@@ -750,7 +756,9 @@ class CNNSIndex:
                 )
         visit = self._route(q, nprobe, rank_by, route_m)  # [Q, V]
         if self.local_index == "flat":
-            return self._search_flat(q, visit, k, group=False)
+            # pass the resolved group choice through: beyond the cap
+            # ceiling this reaches _search_flat's multi-pass grouped scan
+            return self._search_flat(q, visit, k, group=group)
         return self._search_nsg(q, visit, k, l_search, expand)
 
     def _search_flat(self, q, visit, k, group=None):
@@ -759,13 +767,52 @@ class CNNSIndex:
             else jnp.zeros(self.ids_c.shape, jnp.float32)
         )
         c = self.data_c.shape[0]
-        pairs = q.shape[0] * visit.shape[1]
+        npr = visit.shape[1]
+        pairs = q.shape[0] * npr
         if group is None:
             group = pairs >= 2 * c and c % 64 == 0
         if group and c % 64 == 0:
             cap = 8
             while cap * c < 2 * pairs and cap < 512:
                 cap *= 2
+            kk = 2 * k if self.replicated else k
+            if cap * c < 2 * pairs:
+                # demand exceeds the kernel's cap ceiling (512, VMEM):
+                # on low-structure data at large nprobe every cluster is
+                # probed by ~Q*npr/C queries and single-pass grouping
+                # would silently drop the overflow (measured: uniform1m
+                # recall saturating at 0.487 from nprobe=64 on). Chunk
+                # the probe slots so each pass fits the cap — the slab
+                # sweep repeats per pass (~ms), correctness is restored.
+                # Sizing uses the REAL cluster count (demand concentrates
+                # on real slabs; pad slabs are never routed to), keeping
+                # expected per-cluster demand <= cap/2 per pass; residual
+                # skew overflow rides the grouped scan's exact per-pair
+                # spill path (sp_budget)
+                nr = self.n_real or c
+                npr_chunk = max(1, (512 * nr) // (2 * q.shape[0]))
+                # spill budget scaled to the pass size: single-slot skew
+                # (one popular cluster drawing far more than the mean)
+                # routinely spills thousands of pairs here, and the
+                # default 2048 cap measurably dropped probes (round-5:
+                # 943/131k pairs, -0.35% recall vs the per-query oracle)
+                spb = 1 << max(12, (q.shape[0] // 2 - 1).bit_length())
+                best_d = best_i = None
+                for s in range(0, npr, npr_chunk):
+                    gd, gi = _grouped_probe_search(
+                        q, visit[:, s : s + npr_chunk], self.data_c,
+                        self.ids_c, cnorms, k, self.metric, cap=512,
+                        block=64, approx=False, pallas=_default_pallas(),
+                        q_round=self.qscale == 1.0, k_out=kk,
+                        sp_budget=spb,
+                    )
+                    if best_d is None:
+                        best_d, best_i = gd, gi
+                    else:
+                        cd = jnp.concatenate([best_d, gd], axis=1)
+                        ci = jnp.concatenate([best_i, gi], axis=1)
+                        best_d, best_i = topk_smallest(cd, ci, kk)
+                return best_d, best_i
             return _grouped_probe_search(
                 q, visit, self.data_c, self.ids_c, cnorms, k,
                 self.metric, cap=cap, block=64, approx=False,

@@ -171,6 +171,26 @@ def _reverse_insert_jit(adj_l, cache_d, data, norms, kept_i, kept_d,
     return adj_l, cache_d
 
 
+def _arena_cap(max_elements: int) -> int:
+    """Arena row capacity for a requested element count.
+
+    Arrays allocate at a bucketed capacity: kernel cache keys include the
+    arena shape, so arbitrary capacities would recompile everything per
+    index size. Power-of-two buckets up to 8M keep the bucket count
+    log-small; beyond that the pow2 tax is ruinous (16.78M rows for a 10M
+    index = ~1.7x the HBM for data+adjacency+norms), so large arenas
+    round up at 2M granularity instead — waste is bounded by <2M rows
+    while the distinct-shape count stays small.
+    """
+    if max_elements <= (1 << 23):
+        cap = 1024
+        while cap < max_elements:
+            cap *= 2
+        return cap
+    g = 1 << 21
+    return -(-max_elements // g) * g
+
+
 class HNSWIndex:
     """Mutable HNSW index over a fixed-capacity arena."""
 
@@ -184,13 +204,7 @@ class HNSWIndex:
     ):
         self.dim = dim
         self.max_elements = int(max_elements)
-        # arrays allocate at the next power of two: kernel cache keys
-        # include the arena shape, so arbitrary capacities would recompile
-        # everything per index size
-        cap = 1024
-        while cap < self.max_elements:
-            cap *= 2
-        self.cap = cap
+        self.cap = _arena_cap(self.max_elements)
         self.cfg = cfg
         self.metric = metric
         self.dtype = dtype
@@ -1016,9 +1030,7 @@ class HNSWIndex:
         if new_cap < self.n:
             raise ValueError("new capacity below current element count")
         self.max_elements = int(new_cap)
-        alloc = self.cap
-        while alloc < new_cap:
-            alloc *= 2
+        alloc = max(self.cap, _arena_cap(new_cap))
         grow = alloc - self.cap
         if grow <= 0:
             return

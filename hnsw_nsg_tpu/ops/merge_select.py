@@ -1,13 +1,18 @@
 """Fused retset merge + frontier select — the traversal hop's Pallas core.
 
-Per-hop profile at the 1M bench shape (Q=8192, L=128, C=30, TPU v5e):
-the XLA hop costs ~29 ms, of which ``merge_into_retset`` (concat + dedup
-masks + ``lax.top_k`` over L+C with two payload gathers) is ~15.5 ms and
-``_select_frontier`` (another top_k) ~4 ms, while the actual record-row
-gather is < 1 ms. Graph traversal on this part is therefore MERGE-bound,
-not gather-bound (round 2's "0.75 us/row gather floor" was a measurement
-artifact: an on-device rep loop measures XLA's data-dependent 4 KB-row
-gather at ~15 ns/row).
+Per-hop budget at the 1M bench shape (scripts/hop_budget.py, round 5:
+Q=8192, ef=64, R=30, 4 KB record rows, 30-hop lax.scan chains, TPU
+v5e): gather-only 1.42 ms/hop, gather+int8 dot 1.20 ms/hop, full hop
+with this kernel 2.47 ms/hop, full hop with the unfused XLA merge chain
+(two top_k + dedup masks + payload gathers) 11.09 ms/hop. Traversal is
+therefore MERGE-bound on the XLA path (~9.9 ms of the 11.1) and the
+kernel removes ~87% of that, leaving merge+select ~1.3 ms/hop — on par
+with the gather+dot floor it sits behind. The data-dependent 4 KB-row
+gather itself measures ~174 ns/row, 24 GB/s effective (round 2's
+"0.75 us/row floor" overstated it ~4x by timing dispatch; round 4's
+"~15 ns/row" understated it ~10x from a non-chained rep loop the
+compiler could pipeline — the round-5 number is a data-dependent
+chained scan, the honest shape).
 
 This kernel performs, entirely in VMEM per query block:
 
@@ -196,8 +201,13 @@ def fused_merge_select(r_d, r_i, r_e, c_d, c_i, expand: int,
         c_d = jnp.pad(c_d, pad, constant_values=PAD_DIST)
         c_i = jnp.pad(c_i, pad, constant_values=PAD_ID)
     # cap the block so the O(block*c0*(l+c0)) dedup broadcasts fit the
-    # ~16 MB scoped-VMEM stack with headroom
-    budget = 4 * 2**20 // max(1, 4 * c0 * max(l, c0))
+    # ~16 MB scoped-VMEM stack. Mosaic's stack usage is not an exact
+    # function of this product (round-5 probe: l=64,c0=64 OOMed at
+    # block=128 under the old 4 MB constant while larger-product shapes
+    # passed), so the constant is set conservatively at 1 MB — measured
+    # kernel time is insensitive to block across 16..128 (0.03-0.08 ms
+    # at Q=8192), so the safety margin costs nothing
+    budget = 1 * 2**20 // max(1, 4 * c0 * max(l, c0))
     block = max(8, min(block, (budget // 8) * 8))
     qp = -(-q // block) * block
     if qp != q:

@@ -93,8 +93,11 @@ def main():
 
     rows = g.rows
 
+    # rows/q_bf ride as ARGUMENTS, not closure captures: a captured
+    # device array is embedded in the lowered program as a constant and
+    # shipped to the remote compiler (4.3 GB through the tunnel)
     @jax.jit
-    def gather_only(sel0):
+    def gather_only(sel0, rows):
         def body(carry, _):
             sel, acc = carry
             rows_g = jnp.take(rows, sel, axis=0)  # [Q, 1, S, 128]
@@ -110,7 +113,7 @@ def main():
         return acc
 
     @jax.jit
-    def gather_dot(sel0):
+    def gather_dot(sel0, rows, q_bf):
         def body(carry, _):
             sel, acc = carry
             rows_g = jnp.take(rows, sel, axis=0)
@@ -128,8 +131,8 @@ def main():
         return acc
 
     sel0 = jnp.where(sel_ids >= 0, sel_ids, 0)
-    t_gather = timed(gather_only, sel0)
-    t_gdot = timed(gather_dot, sel0)
+    t_gather = timed(gather_only, sel0, rows)
+    t_gdot = timed(gather_dot, sel0, rows, q_bf)
 
     def full(kernel):
         return _scan_hops(

@@ -69,9 +69,12 @@ def main():
     print(f"router hnsw build ({idx.reps.shape[0] * idx.reps.shape[1]} "
           f"reps): {time.time() - t0:.1f}s", flush=True)
 
+    routers = tuple(
+        os.environ.get("ABL_ROUTERS", "flat,hnsw").split(",")
+    )
     print(f"{'router':8} {'rank_by':9} {'nprobe':6} {'recall@10':9} "
           f"{'qps':>9}", flush=True)
-    for router in ("flat", "hnsw"):
+    for router in routers:
         for rank_by in ("hits", "min_dist"):
             for nprobe in (1, 2, 3, 4, 6, 8):
                 dd, ii = idx.search(qd, k=K, nprobe=nprobe,

@@ -152,6 +152,33 @@ class TestGroupedFlat:
                 np.asarray(d1)[com, 0], np.asarray(d2)[com, 0], rtol=1e-4
             )
 
+    def test_multipass_beyond_cap_ceiling_no_probe_drops(self):
+        """Demand beyond the grouped kernel's 512 cap ceiling must chunk
+        into multiple passes instead of silently dropping probes (round-5
+        uniform1m: recall saturated at 0.487 from nprobe=64 on because
+        ~half the probe pairs overflowed). Uniform data + nprobe spanning
+        most clusters: every cluster is probed by ~Q*npr/C >> cap
+        queries; the multi-pass result must match the exact per-query
+        path."""
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((4000, 16)).astype(np.float32)
+        q = rng.standard_normal((4096, 16)).astype(np.float32)
+        idx = build_cnns(x, CNNSConfig(n_clusters=8, m=2, kmeans_iters=6))
+        c = idx.data_c.shape[0]
+        nprobe = min(8, idx.n_real)
+        # demand check: this shape must actually exceed the ceiling
+        assert 2 * q.shape[0] * nprobe > 512 * c, (q.shape[0], nprobe, c)
+        d1, i1 = idx.search(q, k=10, nprobe=nprobe, group=False)
+        d2, i2 = idx.search(q, k=10, nprobe=nprobe, group=True)
+        i1, i2 = np.asarray(i1), np.asarray(i2)
+        # same probes scanned -> identical result sets (order-stable
+        # merges both sides; distances equal where ids agree)
+        assert (np.sort(i1, axis=1) == np.sort(i2, axis=1)).mean() > 0.999
+        com = i1[:, 0] == i2[:, 0]
+        np.testing.assert_allclose(
+            np.asarray(d1)[com, 0], np.asarray(d2)[com, 0], rtol=1e-4
+        )
+
 
 class TestReplicate:
     """Boundary replication into dead pad slots (CNNSConfig.replicate):
