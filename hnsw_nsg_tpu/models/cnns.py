@@ -1355,6 +1355,11 @@ def build_cnns(
     the probe-slot gather moves — the entire cost of flat search — for
     ~2x QPS; ranking then carries bf16 rounding (norms stay f32), so it
     is the benchmark/production mode, gated on measured recall."""
+    if cfg.replicate and local_index != "flat":
+        # validate BEFORE the k-means/arena work (an after-the-fact raise
+        # burned a full local-index build in the error-path test)
+        raise ValueError(
+            "boundary replication requires local_index='flat'")
     data_np = np.asarray(data, np.float32)
     n, d = data_np.shape
     rng = np.random.default_rng(seed)
@@ -1504,9 +1509,6 @@ def build_cnns(
                     np.round(blk, out=blk)
                 data_c[ids_c < 0] = 0.0   # pads would overflow int8
             reps = (reps - qshift) / np.float32(qscale)
-    if cfg.replicate and not flat:
-        raise ValueError(
-            "boundary replication requires local_index='flat'")
     if flat:
         if cfg.replicate:
             # routing reps = means of the ORIGINAL members, computed

@@ -5,12 +5,28 @@ threshold (bindings_test_recall.py), label/persistence round-trips,
 delete semantics, integrity checks.
 """
 
+import copy
+
 import numpy as np
 import pytest
 
 from hnsw_nsg_tpu.ops import brute_force_topk, recall
 from hnsw_nsg_tpu.models.hnsw import HNSWIndex
 from hnsw_nsg_tpu.utils.params import HNSWConfig
+
+
+def clone(idx: HNSWIndex) -> HNSWIndex:
+    """Cheap test-local copy: jax arrays are immutable (replaced on
+    mutation), so only the mutable host-side state needs copying. Lets
+    mutating tests share one built fixture instead of paying a fresh
+    insert-compile each (the CRUD tests were ~30-55 s apiece)."""
+    c = copy.copy(idx)
+    c.levels = idx.levels.copy()
+    c.labels = idx.labels.copy()
+    c.deleted = idx.deleted.copy()
+    c.label_to_id = dict(idx.label_to_id)
+    c.adj_up = list(idx.adj_up)
+    return c
 
 
 @pytest.fixture(scope="module")
@@ -109,26 +125,38 @@ class TestBuildSearch:
 
 
 class TestCRUD:
-    def test_labels_and_get_items(self, rng):
+    """Lifecycle semantics on shared fixtures: one small custom-label
+    build covers labels/get_items/query/resize in sequence; delete and
+    filter semantics run on clones of the module's built index (no
+    per-test insert compile)."""
+
+    def test_lifecycle_labels_query_resize(self, rng):
         x = rng.standard_normal((100, 8)).astype(np.float32)
-        idx = HNSWIndex(8, 200)
+        idx = HNSWIndex(8, 100)
         labels = np.arange(1000, 1100)
         idx.add_items(x, labels)
+        # labels + get_items (bindings getAnnData semantics)
         got = idx.get_items([1005, 1050])
         np.testing.assert_allclose(got, x[[5, 50]], rtol=1e-6)
         assert set(idx.get_ids_list()) == set(labels.tolist())
-
-    def test_query_returns_labels(self, rng):
-        x = rng.standard_normal((200, 8)).astype(np.float32)
-        idx = HNSWIndex(8, 300)
-        idx.add_items(x, np.arange(500, 700))
+        # queries return labels, not internal ids
         lab, _ = idx.knn_query(x[:5], k=1, ef=20)
-        assert lab[:, 0].tolist() == [500, 501, 502, 503, 504]
+        assert lab[:, 0].tolist() == [1000, 1001, 1002, 1003, 1004]
+        # capacity exhausted -> error; resize -> further inserts land
+        with pytest.raises(RuntimeError):
+            idx.add_items(rng.standard_normal((10, 8)).astype(np.float32))
+        idx.resize_index(200)
+        idx.add_items(
+            rng.standard_normal((10, 8)).astype(np.float32),
+            np.arange(2000, 2010),
+        )
+        assert idx.n == 110
+        lab, _ = idx.knn_query(x[3], k=1, ef=20)
+        assert lab[0, 0] == 1003
 
-    def test_mark_deleted_excluded(self, rng):
-        x = rng.standard_normal((300, 8)).astype(np.float32)
-        idx = HNSWIndex(8, 400)
-        idx.add_items(x)
+    def test_mark_deleted_excluded(self, built):
+        x, _, idx0 = built
+        idx = clone(idx0)
         lab, _ = idx.knn_query(x[7], k=1, ef=30)
         assert lab[0, 0] == 7
         idx.mark_deleted(7)
@@ -137,30 +165,15 @@ class TestCRUD:
         idx.unmark_deleted(7)
         lab, _ = idx.knn_query(x[7], k=1, ef=30)
         assert lab[0, 0] == 7
+        # the clone never leaked state into the shared fixture
+        assert not idx0.deleted.any()
 
-    def test_filter_mask(self, rng):
-        x = rng.standard_normal((200, 8)).astype(np.float32)
-        idx = HNSWIndex(8, 300)
-        idx.add_items(x)
+    def test_filter_mask(self, built):
+        x, _, idx = built
         mask = np.zeros(idx.cap, bool)
         mask[:100] = True  # only first hundred allowed
         lab, _ = idx.knn_query(x[150], k=5, ef=50, filter_ids=mask)
         assert (lab[0] < 100).all()
-
-    def test_resize(self, rng):
-        x = rng.standard_normal((50, 8)).astype(np.float32)
-        idx = HNSWIndex(8, 50)
-        idx.add_items(x)
-        with pytest.raises(RuntimeError):
-            idx.add_items(rng.standard_normal((10, 8)).astype(np.float32))
-        idx.resize_index(100)
-        idx.add_items(
-            rng.standard_normal((10, 8)).astype(np.float32),
-            np.arange(50, 60),
-        )
-        assert idx.n == 60
-        lab, _ = idx.knn_query(x[3], k=1, ef=20)
-        assert lab[0, 0] == 3
 
     def test_capacity_error_message(self, rng):
         idx = HNSWIndex(8, 10)
