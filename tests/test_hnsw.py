@@ -65,9 +65,9 @@ class TestBuildSearch:
         of every live link: reverse-edge insertion merges and prunes
         against these values, so staleness would silently distort link
         selection."""
-        x = rng.standard_normal((3000, 24)).astype(np.float32)
+        x = rng.standard_normal((1500, 24)).astype(np.float32)
         idx = HNSWIndex(
-            24, 3000,
+            24, 1500,
             HNSWConfig(M=8, ef_construction=60, link_dist_cache=True),
         )
         idx.add_items(x, batch_size=1024)
